@@ -1,0 +1,33 @@
+"""Test configuration: force CPU with 8 virtual devices BEFORE jax import.
+
+Mirrors the reference's in-process "fake cluster" testing strategy
+(/root/reference/tests/src/rep3_network.rs): everything runs on one host,
+multi-chip sharding is exercised on a virtual 8-device CPU mesh.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Force the real CPU backend: the axon sitecustomize registers a remote-TPU
+# PJRT plugin at interpreter boot (jax is already imported here), and per-op
+# eager dispatch over that tunnel is ~1000x slower than local CPU. Backends
+# initialize lazily, so flipping the config before first use still works.
+# Tests are CPU-only; bench.py (fully jitted) is what runs on the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax  # noqa: E402,F401
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE)
