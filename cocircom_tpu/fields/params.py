@@ -162,6 +162,10 @@ class CurveParams:
     x: int = 0
     x_is_negative: bool = False
     cofactor_g1: int = 1
+    # Fp6/Fp12 tower non-residue xi = xi0 + xi1*u  (Fp2 = Fp[u]/(u^2+1))
+    xi: tuple[int, int] = (0, 0)
+    # twist type: "D" (E': y^2 = x^3 + b/xi) or "M" (E': y^2 = x^3 + b*xi)
+    twist: str = "D"
 
 
 _BN254_P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
@@ -191,6 +195,8 @@ BN254 = CurveParams(
     ),
     x=4965661367192848881,
     x_is_negative=False,
+    xi=(9, 1),
+    twist="D",
 )
 
 _BLS_P = int(
@@ -224,6 +230,8 @@ BLS12_381 = CurveParams(
     ),
     x=0xD201000000010000,
     x_is_negative=True,
+    xi=(1, 1),
+    twist="M",
 )
 
 _CURVES = {"bn254": BN254, "bn128": BN254, "bls12_381": BLS12_381, "bls12381": BLS12_381}

@@ -1,0 +1,382 @@
+"""TPU-native elliptic-curve ops: branchless complete projective formulas.
+
+Points are pytrees ``ProjPoint(x, y, z)`` whose coordinates are Montgomery
+limb arrays ``(L, *batch)`` (G1) or pairs of them (G2 over Fq2). Addition
+uses the *complete* a=0 formulas (Renes–Costello–Batina 2016, Alg. 7):
+one straight-line sequence of 12 field muls valid for ALL inputs (identity,
+doubling, inverses) — no data-dependent branching, exactly what the TPU VPU
+and XLA want. Identity is (0 : 1 : 0).
+
+Reference parity: arkworks CurveGroup usage + MSM/ECC traits
+(/root/reference/mpc-core/src/traits.rs:472-533, SURVEY.md L0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import CurveParams
+from .field import Field, get_field
+
+
+class ProjPoint(NamedTuple):
+    x: Any
+    y: Any
+    z: Any
+
+
+class FqLane:
+    """Generic field-lane adapter over a base prime field (elements = arrays)."""
+
+    def __init__(self, f: Field):
+        self.f = f
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def mul(self, a, b):
+        return self.f.mont_mul(a, b)
+
+    def sqr(self, a):
+        return self.f.mont_mul(a, a)
+
+    def neg(self, a):
+        return self.f.neg(a)
+
+    def select(self, mask, a, b):
+        return self.f.select(mask, a, b)
+
+    def is_zero(self, a):
+        return self.f.is_zero(a)
+
+    def eq(self, a, b):
+        return self.f.eq(a, b)
+
+    def inv(self, a):
+        return self.f.inv(a)
+
+    def batch_inv(self, a, axis=1):
+        return self.f.batch_inv(a, axis)
+
+    def zeros(self, batch=()):
+        return self.f.zeros(batch)
+
+    def one(self, batch=()):
+        return self.f.one_mont(batch)
+
+    def const(self, v: int, batch=()):
+        """host int -> broadcastable Montgomery constant."""
+        enc = self.f._int_to_limbs_np((v * self.f.R) % self.f.p)
+        return self.f._bcast_const(enc, batch)
+
+    def encode(self, vals):
+        return self.f.encode(vals)
+
+    def decode(self, a):
+        return self.f.decode(a)
+
+    def broadcast_to(self, a, batch):
+        return jnp.broadcast_to(a, (self.f.L,) + tuple(batch))
+
+    def batch_shape(self, a):
+        return a.shape[1:]
+
+    def stack(self, elems, axis=1):
+        return jnp.stack(elems, axis=axis)
+
+    def index(self, a, idx, axis=1):
+        return jnp.take(a, idx, axis=axis)
+
+
+class Fq2Lane:
+    """Quadratic extension lane: elements are (c0, c1) with u^2 = -1."""
+
+    def __init__(self, f: Field):
+        self.f = f
+
+    def add(self, a, b):
+        return (self.f.add(a[0], b[0]), self.f.add(a[1], b[1]))
+
+    def sub(self, a, b):
+        return (self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1]))
+
+    def mul(self, a, b):
+        v0 = self.f.mont_mul(a[0], b[0])
+        v1 = self.f.mont_mul(a[1], b[1])
+        t = self.f.mont_mul(self.f.add(a[0], a[1]), self.f.add(b[0], b[1]))
+        return (self.f.sub(v0, v1), self.f.sub(self.f.sub(t, v0), v1))
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def neg(self, a):
+        return (self.f.neg(a[0]), self.f.neg(a[1]))
+
+    def select(self, mask, a, b):
+        return (self.f.select(mask, a[0], b[0]), self.f.select(mask, a[1], b[1]))
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.f.is_zero(a[0]), self.f.is_zero(a[1]))
+
+    def eq(self, a, b):
+        return jnp.logical_and(self.f.eq(a[0], b[0]), self.f.eq(a[1], b[1]))
+
+    def inv(self, a):
+        norm = self.f.add(self.f.mont_mul(a[0], a[0]), self.f.mont_mul(a[1], a[1]))
+        ninv = self.f.inv(norm)
+        return (self.f.mont_mul(a[0], ninv), self.f.neg(self.f.mont_mul(a[1], ninv)))
+
+    def batch_inv(self, a, axis=1):
+        norm = self.f.add(self.f.mont_mul(a[0], a[0]), self.f.mont_mul(a[1], a[1]))
+        ninv = self.f.batch_inv(norm, axis)
+        return (self.f.mont_mul(a[0], ninv), self.f.neg(self.f.mont_mul(a[1], ninv)))
+
+    def zeros(self, batch=()):
+        return (self.f.zeros(batch), self.f.zeros(batch))
+
+    def one(self, batch=()):
+        return (self.f.one_mont(batch), self.f.zeros(batch))
+
+    def const(self, v, batch=()):
+        v0, v1 = v
+        e0 = self.f._int_to_limbs_np((v0 * self.f.R) % self.f.p)
+        e1 = self.f._int_to_limbs_np((v1 * self.f.R) % self.f.p)
+        return (self.f._bcast_const(e0, batch), self.f._bcast_const(e1, batch))
+
+    def encode(self, vals):
+        """vals: sequence of (c0, c1) int pairs."""
+        c0 = [v[0] for v in vals]
+        c1 = [v[1] for v in vals]
+        return (self.f.encode(c0), self.f.encode(c1))
+
+    def decode(self, a):
+        return (self.f.decode(a[0]), self.f.decode(a[1]))
+
+    def broadcast_to(self, a, batch):
+        shp = (self.f.L,) + tuple(batch)
+        return (jnp.broadcast_to(a[0], shp), jnp.broadcast_to(a[1], shp))
+
+    def batch_shape(self, a):
+        return a[0].shape[1:]
+
+    def stack(self, elems, axis=1):
+        return (
+            jnp.stack([e[0] for e in elems], axis=axis),
+            jnp.stack([e[1] for e in elems], axis=axis),
+        )
+
+    def index(self, a, idx, axis=1):
+        return (jnp.take(a[0], idx, axis=axis), jnp.take(a[1], idx, axis=axis))
+
+
+class CurveOps:
+    """Complete-formula point arithmetic over a field lane."""
+
+    def __init__(self, lane, b_host, name: str = "G"):
+        self.lane = lane
+        self.name = name
+        self.b_host = b_host
+        if isinstance(b_host, tuple):
+            self.b3_host = tuple((3 * c) % lane.f.p for c in b_host)
+        else:
+            self.b3_host = (3 * b_host) % lane.f.p
+        # jit-cache hot entry points (instances cached via g1_ops/g2_ops)
+        self.add = jax.jit(self.add)
+        self.scalar_mul = jax.jit(self.scalar_mul, static_argnums=2)
+        self.sum = jax.jit(self.sum, static_argnums=1)
+
+    def b3(self, batch=()):
+        return self.lane.const(self.b3_host, batch)
+
+    def identity(self, batch=()) -> ProjPoint:
+        ln = self.lane
+        return ProjPoint(ln.zeros(batch), ln.one(batch), ln.zeros(batch))
+
+    def is_identity(self, p: ProjPoint):
+        return self.lane.is_zero(p.z)
+
+    def neg(self, p: ProjPoint) -> ProjPoint:
+        return ProjPoint(p.x, self.lane.neg(p.y), p.z)
+
+    def select(self, mask, p: ProjPoint, q: ProjPoint) -> ProjPoint:
+        ln = self.lane
+        return ProjPoint(
+            ln.select(mask, p.x, q.x), ln.select(mask, p.y, q.y), ln.select(mask, p.z, q.z)
+        )
+
+    def add(self, p: ProjPoint, q: ProjPoint) -> ProjPoint:
+        """Renes–Costello–Batina 2016 Algorithm 7 (a=0), complete."""
+        ln = self.lane
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        b3 = self.b3(ln.batch_shape(X1))
+        t0 = ln.mul(X1, X2)
+        t1 = ln.mul(Y1, Y2)
+        t2 = ln.mul(Z1, Z2)
+        t3 = ln.add(X1, Y1)
+        t4 = ln.add(X2, Y2)
+        t3 = ln.mul(t3, t4)
+        t4 = ln.add(t0, t1)
+        t3 = ln.sub(t3, t4)
+        t4 = ln.add(Y1, Z1)
+        X3 = ln.add(Y2, Z2)
+        t4 = ln.mul(t4, X3)
+        X3 = ln.add(t1, t2)
+        t4 = ln.sub(t4, X3)
+        X3 = ln.add(X1, Z1)
+        Y3 = ln.add(X2, Z2)
+        X3 = ln.mul(X3, Y3)
+        Y3 = ln.add(t0, t2)
+        Y3 = ln.sub(X3, Y3)
+        X3 = ln.add(t0, t0)
+        t0 = ln.add(X3, t0)
+        t2 = ln.mul(b3, t2)
+        Z3 = ln.add(t1, t2)
+        t1 = ln.sub(t1, t2)
+        Y3 = ln.mul(b3, Y3)
+        X3 = ln.mul(t4, Y3)
+        t2 = ln.mul(t3, t1)
+        X3 = ln.sub(t2, X3)
+        Y3 = ln.mul(Y3, t0)
+        t1 = ln.mul(t1, Z3)
+        Y3 = ln.add(t1, Y3)
+        t0 = ln.mul(t0, t3)
+        Z3 = ln.mul(Z3, t4)
+        Z3 = ln.add(Z3, t0)
+        return ProjPoint(X3, Y3, Z3)
+
+    def double(self, p: ProjPoint) -> ProjPoint:
+        return self.add(p, p)
+
+    def scalar_mul(self, p: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:
+        """p * s with s given as (Ls, *batch) 16-bit standard-form limbs."""
+        Ls = scalar_limbs.shape[0]
+        nbits = nbits or 16 * Ls
+
+        def body(i, acc):
+            j = nbits - 1 - i
+            limb = jnp.take(scalar_limbs, j >> 4, axis=0)
+            bit = ((limb >> (j & 15)) & 1).astype(bool)
+            acc = self.double(acc)
+            return self.select(bit, self.add(acc, p), acc)
+
+        batch = self.lane.batch_shape(p.x)
+        sb = scalar_limbs.shape[1:]
+        if len(sb) > len(batch):
+            batch = sb
+            p = ProjPoint(
+                self.lane.broadcast_to(p.x, batch),
+                self.lane.broadcast_to(p.y, batch),
+                self.lane.broadcast_to(p.z, batch),
+            )
+        acc0 = self.identity(batch)
+        return jax.lax.fori_loop(0, nbits, body, acc0)
+
+    def sum(self, p: ProjPoint, axis: int = 1) -> ProjPoint:
+        """Tree-reduce points along a batch axis (log2 levels of `add`)."""
+        ln = self.lane
+
+        def nalong(pt):
+            return ln.batch_shape(pt.x)[axis - 1]
+
+        while nalong(p) > 1:
+            n = nalong(p)
+            if n % 2:
+                idp = self.identity(
+                    tuple(
+                        1 if i == axis - 1 else d
+                        for i, d in enumerate(ln.batch_shape(p.x))
+                    )
+                )
+                p = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=axis), p, idp)
+                n += 1
+            lo = jax.tree.map(lambda a: jax.lax.slice_in_dim(a, 0, n // 2, axis=axis), p)
+            hi = jax.tree.map(
+                lambda a: jax.lax.slice_in_dim(a, n // 2, n, axis=axis), p
+            )
+            p = self.add(lo, hi)
+        return jax.tree.map(lambda a: jnp.squeeze(a, axis=axis), p)
+
+    def msm_naive(self, points: ProjPoint, scalar_limbs) -> ProjPoint:
+        """Reference MSM: per-point scalar_mul then tree sum (test-sized N)."""
+        prods = self.scalar_mul(points, scalar_limbs)
+        return self.sum(prods, axis=1)
+
+    # ---------------- host conversions ----------------
+
+    def encode_points(self, affine_list) -> ProjPoint:
+        """list of host affine points (None = infinity) -> batched ProjPoint."""
+        ln = self.lane
+        xs, ys, zs = [], [], []
+        if isinstance(self.b_host, tuple):
+            zero_c, one_c = (0, 0), (1, 0)
+        else:
+            zero_c, one_c = 0, 1
+        for pt in affine_list:
+            if pt is None:
+                xs.append(zero_c)
+                ys.append(one_c)
+                zs.append(zero_c)
+            else:
+                xs.append(pt[0])
+                ys.append(pt[1])
+                zs.append(one_c)
+        if isinstance(self.b_host, tuple):
+            enc = lambda vs: (  # noqa: E731
+                ln.f.encode([v[0] for v in vs]),
+                ln.f.encode([v[1] for v in vs]),
+            )
+        else:
+            enc = ln.f.encode
+        return ProjPoint(enc(xs), enc(ys), enc(zs))
+
+    def decode_points(self, p: ProjPoint):
+        """batched ProjPoint -> list of host affine points (None = infinity)."""
+        ln = self.lane
+        zinv = ln.batch_inv(p.z, axis=1)
+        ax = ln.decode(ln.mul(p.x, zinv))
+        ay = ln.decode(ln.mul(p.y, zinv))
+        inf = np.asarray(jax.device_get(self.is_identity(p)))
+        out = []
+        for i in range(inf.shape[0]):
+            if inf[i]:
+                out.append(None)
+            elif isinstance(self.b_host, tuple):
+                out.append(((int(ax[0][i]), int(ax[1][i])), (int(ay[0][i]), int(ay[1][i]))))
+            else:
+                out.append((int(ax[i]), int(ay[i])))
+        return out
+
+    def to_affine_limbs(self, p: ProjPoint):
+        """(x, y) affine Montgomery limbs; identity -> (0, 0)."""
+        ln = self.lane
+        batch = ln.batch_shape(p.x)
+        if len(batch) == 0:
+            zinv = ln.inv(p.z)
+        else:
+            zinv = ln.batch_inv(p.z, axis=1)
+        inf = self.is_identity(p)
+        ax = ln.mul(p.x, zinv)
+        ay = ln.mul(p.y, zinv)
+        zero = ln.zeros(batch)
+        return (ln.select(inf, zero, ax), ln.select(inf, zero, ay))
+
+
+@functools.lru_cache(maxsize=None)
+def g1_ops(curve: CurveParams) -> CurveOps:
+    f = get_field(curve.fq.p, curve.name + ".fq")
+    return CurveOps(FqLane(f), curve.b, curve.name + ".G1")
+
+
+@functools.lru_cache(maxsize=None)
+def g2_ops(curve: CurveParams) -> CurveOps:
+    f = get_field(curve.fq.p, curve.name + ".fq")
+    return CurveOps(Fq2Lane(f), curve.b2, curve.name + ".G2")

@@ -54,6 +54,17 @@ class Field:
         self.r2 = (self.R * self.R) % p
         self.r2_np = self._int_to_limbs_np(self.r2)
         self.zero_np = np.zeros((L,), np.uint32)
+        # jit-cache the hot entry points (per-instance; instances are
+        # singletons via get_field, so compilations are shared globally)
+        self.add = jax.jit(self.add)
+        self.sub = jax.jit(self.sub)
+        self.neg = jax.jit(self.neg)
+        self.mont_mul = jax.jit(self.mont_mul)
+        self.to_mont = jax.jit(self.to_mont)
+        self.from_mont = jax.jit(self.from_mont)
+        self.pow_static = jax.jit(self.pow_static, static_argnums=1)
+        self.batch_inv = jax.jit(self.batch_inv, static_argnums=1)
+        self.sum = jax.jit(self.sum, static_argnums=1)
 
     # ------------------------------------------------------------------
     # host conversions
@@ -141,25 +152,28 @@ class Field:
 
     def _carry(self, x):
         """Propagate deferred carries; returns canonical limbs (drops final
-        carry — callers guarantee the value fits L limbs)."""
-        outs = []
-        carry = jnp.zeros_like(x[0])
-        for i in range(x.shape[0]):
-            t = x[i] + carry
-            outs.append(t & MASK)
-            carry = t >> W
-        return jnp.stack(outs)
+        carry — callers guarantee the value fits L limbs). lax.scan over the
+        limb axis keeps the XLA graph tiny (compile time!)."""
+
+        def step(carry, xi):
+            t = xi + carry
+            return t >> W, t & MASK
+
+        _, out = jax.lax.scan(step, jnp.zeros_like(x[0]), x)
+        return out
 
     def _sub_limbs(self, a, b):
         """(a - b) mod 2^(16L) with borrow chain; returns (diff, borrow)."""
-        outs = []
-        borrow = jnp.zeros_like(a[0])
         big = np.uint32(1 << W)
-        for i in range(a.shape[0]):
-            t = a[i] + big - borrow - b[i]
-            outs.append(t & MASK)
-            borrow = jnp.uint32(1) - (t >> W)
-        return jnp.stack(outs), borrow
+        a, b = jnp.broadcast_arrays(a, b)
+
+        def step(borrow, ab):
+            ai, bi = ab
+            t = ai + big - borrow - bi
+            return jnp.uint32(1) - (t >> W), t & MASK
+
+        borrow, out = jax.lax.scan(step, jnp.zeros_like(a[0]), (a, b))
+        return out, borrow
 
     def _cond_sub_p(self, x):
         """x < 2p canonical -> x mod p."""
@@ -188,27 +202,52 @@ class Field:
         return self.add(a, a)
 
     def _mul_wide(self, a, b):
-        """Schoolbook product into 2L deferred-carry columns (< 2^22)."""
+        """Schoolbook product into 2L deferred-carry columns (< 2^22).
+
+        Formulated as stack-of-shifted-rows + one sum: no dynamic-update
+        slices, so the XLA graph stays small and fuses well."""
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        acc = jnp.zeros((2 * L,) + batch, U32)
+        bb = jnp.broadcast_to(b, (L,) + batch)
+        # prods[i] = a[i] * b  -> (L, L, *batch)
+        prods = a[:, None] * bb[None, :]
+        lo = prods & MASK
+        hi = prods >> W
+        pad_cfg = [(0, 0, 0)] * (lo.ndim + 1)
+        rows = []
         for i in range(L):
-            prod = a[i] * b  # (L, *batch) u32, each < 2^32
-            acc = acc.at[i : i + L].add(prod & MASK)
-            acc = acc.at[i + 1 : i + L + 1].add(prod >> W)
-        return acc
+            # row i occupies columns i..i+L (lo) and i+1..i+L+1 (hi)
+            row = jnp.concatenate(
+                [lo[i], jnp.zeros((1,) + batch, U32)], 0
+            ) + jnp.concatenate([jnp.zeros((1,) + batch, U32), hi[i]], 0)
+            rows.append(jnp.pad(row, [(i, L - 1 - i)] + [(0, 0)] * (row.ndim - 1)))
+        del pad_cfg
+        return jnp.sum(jnp.stack(rows), axis=0)  # (2L, *batch)
 
     def _mont_reduce(self, acc):
-        """2L deferred-carry columns -> canonical Montgomery residue < p."""
+        """2L deferred-carry columns -> canonical Montgomery residue < p.
+
+        fori_loop over the L reduction steps: one small loop body instead of
+        L unrolled dynamic-update-slice chains."""
         L = self.L
         nb = self._bcast_const(self.p_limbs, acc.shape[1:])
-        for i in range(L):
-            m = (acc[i] * self.n0inv) & MASK
-            prod = m * nb
-            acc = acc.at[i : i + L].add(prod & MASK)
-            acc = acc.at[i + 1 : i + L + 1].add(prod >> W)
-            acc = acc.at[i + 1].add(acc[i] >> W)
-        res = self._carry(acc[L : 2 * L])
+        # rotate-based formulation: keep the "current" column at index 0 by
+        # rolling the accumulator once per step; all indexing is static.
+        #   step: m = acc[0]*n0inv mod 2^16 ; acc += m*n (lo at 0.., hi at 1..)
+        #   then acc[1] += acc[0] >> 16 ; drop acc[0] ; roll left.
+        zrow = jnp.zeros((1,) + acc.shape[1:], U32)
+
+        def body(_, acc):
+            m = (acc[0] * self.n0inv) & MASK
+            prod = m * nb  # (L, *batch)
+            lo = jnp.concatenate([prod & MASK, jnp.zeros_like(prod)], 0)
+            hi = jnp.concatenate([zrow, prod >> W, jnp.zeros_like(prod)[1:]], 0)
+            acc = acc + lo + hi
+            acc = acc.at[1].add(acc[0] >> W)
+            return jnp.concatenate([acc[1:], zrow], 0)
+
+        acc = jax.lax.fori_loop(0, L, body, acc, unroll=False)
+        res = self._carry(acc[:L])
         return self._cond_sub_p(res)
 
     def mont_mul(self, a, b):
