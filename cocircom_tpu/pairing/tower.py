@@ -161,6 +161,9 @@ class Fp6:
         """multiply by v: (c0,c1,c2) -> (xi*c2, c0, c1)."""
         return self._new(self.xi * self.c2, self.c0, self.c1)
 
+    def mul_int(self, k: int):
+        return self._new(self.c0.mul_int(k), self.c1.mul_int(k), self.c2.mul_int(k))
+
     def inv(self):
         a0, a1, a2 = self.c0, self.c1, self.c2
         t0 = a0.sqr() - self.xi * (a1 * a2)
@@ -232,6 +235,9 @@ class Fp12:
 
     def pow(self, e: int):
         return generic_pow(self, e)
+
+    def mul_int(self, k: int):
+        return Fp12(self.c0.mul_int(k), self.c1.mul_int(k))
 
 
 def generic_pow(base, e: int):
