@@ -109,10 +109,17 @@ class Fq2Lane:
         return (self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1]))
 
     def mul(self, a, b):
-        v0 = self.f.mont_mul(a[0], b[0])
-        v1 = self.f.mont_mul(a[1], b[1])
-        t = self.f.mont_mul(self.f.add(a[0], a[1]), self.f.add(b[0], b[1]))
-        return (self.f.sub(v0, v1), self.f.sub(self.f.sub(t, v0), v1))
+        # Karatsuba with the 3 independent base products STACKED into one
+        # mont_mul call (compile-size + lane-utilization win)
+        f = self.f
+        batch = jnp.broadcast_shapes(a[0].shape[1:], b[0].shape[1:])
+        a = tuple(jnp.broadcast_to(c, (f.L,) + batch) for c in a)
+        b = tuple(jnp.broadcast_to(c, (f.L,) + batch) for c in b)
+        lhs = jnp.stack([a[0], a[1], f.add(a[0], a[1])], axis=1)
+        rhs = jnp.stack([b[0], b[1], f.add(b[0], b[1])], axis=1)
+        prod = f.mont_mul(lhs, rhs)
+        v0, v1, t = prod[:, 0], prod[:, 1], prod[:, 2]
+        return (f.sub(v0, v1), f.sub(f.sub(t, v0), v1))
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -213,44 +220,38 @@ class CurveOps:
         )
 
     def add(self, p: ProjPoint, q: ProjPoint) -> ProjPoint:
-        """Renes–Costello–Batina 2016 Algorithm 7 (a=0), complete."""
+        """Renes–Costello–Batina 2016 Algorithm 7 (a=0), complete.
+
+        The 12 field muls are regrouped into 3 *stacked* multiply waves
+        (independent products batched along one axis into a single mont_mul)
+        — minimal XLA graph, maximal lane occupancy."""
         ln = self.lane
-        X1, Y1, Z1 = p
-        X2, Y2, Z2 = q
-        b3 = self.b3(ln.batch_shape(X1))
-        t0 = ln.mul(X1, X2)
-        t1 = ln.mul(Y1, Y2)
-        t2 = ln.mul(Z1, Z2)
-        t3 = ln.add(X1, Y1)
-        t4 = ln.add(X2, Y2)
-        t3 = ln.mul(t3, t4)
-        t4 = ln.add(t0, t1)
-        t3 = ln.sub(t3, t4)
-        t4 = ln.add(Y1, Z1)
-        X3 = ln.add(Y2, Z2)
-        t4 = ln.mul(t4, X3)
-        X3 = ln.add(t1, t2)
-        t4 = ln.sub(t4, X3)
-        X3 = ln.add(X1, Z1)
-        Y3 = ln.add(X2, Z2)
-        X3 = ln.mul(X3, Y3)
-        Y3 = ln.add(t0, t2)
-        Y3 = ln.sub(X3, Y3)
-        X3 = ln.add(t0, t0)
-        t0 = ln.add(X3, t0)
-        t2 = ln.mul(b3, t2)
-        Z3 = ln.add(t1, t2)
-        t1 = ln.sub(t1, t2)
-        Y3 = ln.mul(b3, Y3)
-        X3 = ln.mul(t4, Y3)
-        t2 = ln.mul(t3, t1)
-        X3 = ln.sub(t2, X3)
-        Y3 = ln.mul(Y3, t0)
-        t1 = ln.mul(t1, Z3)
-        Y3 = ln.add(t1, Y3)
-        t0 = ln.mul(t0, t3)
-        Z3 = ln.mul(Z3, t4)
-        Z3 = ln.add(Z3, t0)
+        batch = jnp.broadcast_shapes(ln.batch_shape(p.x), ln.batch_shape(q.x))
+        X1, Y1, Z1 = (ln.broadcast_to(c, batch) for c in p)
+        X2, Y2, Z2 = (ln.broadcast_to(c, batch) for c in q)
+        # wave 1: all pairwise products of the input coordinates
+        l1 = ln.stack([X1, Y1, Z1, ln.add(X1, Y1), ln.add(Y1, Z1), ln.add(X1, Z1)])
+        r1 = ln.stack([X2, Y2, Z2, ln.add(X2, Y2), ln.add(Y2, Z2), ln.add(X2, Z2)])
+        w1 = ln.mul(l1, r1)
+        m0, m1, m2, m3, m4, m5 = (ln.index(w1, i) for i in range(6))
+        t3 = ln.sub(ln.sub(m3, m0), m1)  # X1Y2 + X2Y1
+        t4 = ln.sub(ln.sub(m4, m1), m2)  # Y1Z2 + Y2Z1
+        y3p = ln.sub(ln.sub(m5, m0), m2)  # X1Z2 + X2Z1
+        t0 = ln.add(ln.add(m0, m0), m0)  # 3 X1X2
+        # wave 2: the two b3 scalings
+        b3 = self.b3(ln.batch_shape(m2))
+        w2 = ln.mul(ln.stack([m2, y3p]), ln.stack([b3, b3]))
+        t2 = ln.index(w2, 0)  # b3 Z1Z2
+        y3 = ln.index(w2, 1)  # b3 (X1Z2+X2Z1)
+        z3p = ln.add(m1, t2)
+        t1 = ln.sub(m1, t2)
+        # wave 3: the six output products
+        l3 = ln.stack([t4, t3, y3, t1, t0, z3p])
+        r3 = ln.stack([y3, t1, t0, z3p, t3, t4])
+        w3 = ln.mul(l3, r3)
+        X3 = ln.sub(ln.index(w3, 1), ln.index(w3, 0))
+        Y3 = ln.add(ln.index(w3, 3), ln.index(w3, 2))
+        Z3 = ln.add(ln.index(w3, 5), ln.index(w3, 4))
         return ProjPoint(X3, Y3, Z3)
 
     def double(self, p: ProjPoint) -> ProjPoint:
@@ -280,30 +281,34 @@ class CurveOps:
         acc0 = self.identity(batch)
         return jax.lax.fori_loop(0, nbits, body, acc0)
 
-    def sum(self, p: ProjPoint, axis: int = 1) -> ProjPoint:
-        """Tree-reduce points along a batch axis (log2 levels of `add`)."""
+    def suffix_sums(self, p: ProjPoint, axis: int = 1) -> ProjPoint:
+        """out[i] = p[i] + p[i+1] + ... along one batch axis.
+
+        Masked Hillis–Steele with a fori_loop: ONE curve add in the loop body
+        regardless of length (compile-friendly), log2(n) iterations."""
         ln = self.lane
+        batch = ln.batch_shape(p.x)
+        n = batch[axis - 1]
+        if n <= 1:
+            return p
+        steps = (n - 1).bit_length()
+        pos_shape = tuple(d if i == axis - 1 else 1 for i, d in enumerate(batch))
+        pos = jnp.arange(n, dtype=jnp.int32).reshape(pos_shape)
+        pos = jnp.broadcast_to(pos, batch)
 
-        def nalong(pt):
-            return ln.batch_shape(pt.x)[axis - 1]
+        def body(s, x):
+            shift = jnp.left_shift(jnp.int32(1), s)
+            rolled = jax.tree.map(lambda c: jnp.roll(c, -shift, axis=axis), x)
+            valid = (pos + shift) < n
+            added = self.add(x, rolled)
+            return self.select(valid, added, x)
 
-        while nalong(p) > 1:
-            n = nalong(p)
-            if n % 2:
-                idp = self.identity(
-                    tuple(
-                        1 if i == axis - 1 else d
-                        for i, d in enumerate(ln.batch_shape(p.x))
-                    )
-                )
-                p = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=axis), p, idp)
-                n += 1
-            lo = jax.tree.map(lambda a: jax.lax.slice_in_dim(a, 0, n // 2, axis=axis), p)
-            hi = jax.tree.map(
-                lambda a: jax.lax.slice_in_dim(a, n // 2, n, axis=axis), p
-            )
-            p = self.add(lo, hi)
-        return jax.tree.map(lambda a: jnp.squeeze(a, axis=axis), p)
+        return jax.lax.fori_loop(0, steps, body, p)
+
+    def sum(self, p: ProjPoint, axis: int = 1) -> ProjPoint:
+        """Reduce points along a batch axis (log2 adds via suffix_sums)."""
+        s = self.suffix_sums(p, axis)
+        return jax.tree.map(lambda a: jnp.take(a, 0, axis=axis), s)
 
     def msm_naive(self, points: ProjPoint, scalar_limbs) -> ProjPoint:
         """Reference MSM: per-point scalar_mul then tree sum (test-sized N)."""

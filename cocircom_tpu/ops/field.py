@@ -202,27 +202,43 @@ class Field:
         return self.add(a, a)
 
     def _mul_wide(self, a, b):
-        """Schoolbook product into 2L deferred-carry columns (< 2^22).
+        """Schoolbook product into 2L deferred-carry columns (< 2^31).
 
-        Formulated as stack-of-shifted-rows + one sum: no dynamic-update
-        slices, so the XLA graph stays small and fuses well."""
+        Single batched-convolution formulation: operands are split into 8-bit
+        limbs (4L per element, products of 48 terms stay < 2^22 in int32 — no
+        lo/hi splitting, no carries), the polynomial product is ONE
+        lax.conv_general_dilated (grouped per batch element), and the 8-bit
+        columns fold back into 16-bit columns. Keeps the XLA graph ~10 ops
+        per multiply: compile-time and fusion friendly."""
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        bb = jnp.broadcast_to(b, (L,) + batch)
-        # prods[i] = a[i] * b  -> (L, L, *batch)
-        prods = a[:, None] * bb[None, :]
-        lo = prods & MASK
-        hi = prods >> W
-        pad_cfg = [(0, 0, 0)] * (lo.ndim + 1)
-        rows = []
-        for i in range(L):
-            # row i occupies columns i..i+L (lo) and i+1..i+L+1 (hi)
-            row = jnp.concatenate(
-                [lo[i], jnp.zeros((1,) + batch, U32)], 0
-            ) + jnp.concatenate([jnp.zeros((1,) + batch, U32), hi[i]], 0)
-            rows.append(jnp.pad(row, [(i, L - 1 - i)] + [(0, 0)] * (row.ndim - 1)))
-        del pad_cfg
-        return jnp.sum(jnp.stack(rows), axis=0)  # (2L, *batch)
+        a = jnp.broadcast_to(a, (L,) + batch)
+        b = jnp.broadcast_to(b, (L,) + batch)
+        B = int(np.prod(batch)) if batch else 1
+        if B == 0:  # associative_scan probes zero-length slices
+            return jnp.zeros((2 * L,) + batch, U32)
+
+        def split8(x):
+            # (L, *batch) 16-bit -> (2L, B) 8-bit int32
+            x = x.reshape(L, B)
+            return jnp.stack([x & 0xFF, x >> 8], axis=1).reshape(2 * L, B).astype(jnp.int32)
+
+        a8 = split8(a)
+        b8 = split8(b)
+        # grouped conv: lhs (1, B, 2L), rhs (B, 1, 2L) reversed, full padding
+        lhs = a8.T[None]  # (1, B, 2L)
+        rhs = b8.T[:, None, ::-1]  # (B, 1, 2L) spatial-reversed
+        c8 = jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=(1,),
+            padding=[(2 * L - 1, 2 * L - 1)],
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=B,
+        )[0].T  # (4L-1, B)
+        c8 = jnp.concatenate([c8, jnp.zeros((1, B), c8.dtype)], 0).astype(U32)
+        c16 = c8[0::2] + (c8[1::2] << 8)  # (2L, B) columns < 2^31
+        return c16.reshape((2 * L,) + batch)
 
     def _mont_reduce(self, acc):
         """2L deferred-carry columns -> canonical Montgomery residue < p.

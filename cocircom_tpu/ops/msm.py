@@ -1,0 +1,152 @@
+"""Pippenger multi-scalar multiplication, TPU-first.
+
+Algorithm (per c-bit signed window):
+  1. signed digit recoding (buckets halved: |digit| <= 2^(c-1))
+  2. sort point indices by bucket (XLA sort — lane friendly)
+  3. conflict-free *wave* accumulation: wave w adds, for every bucket in
+     parallel, the rank-w point of that bucket's run into a (K+1)-wide
+     accumulator — a batched complete EC add per wave, NO scatter with EC
+     semantics anywhere. Work = sum over waves of K adds ~= N adds/window.
+  4. bucket reduction sum_j j*B_j via a reversed associative scan (suffix
+     sums) + tree sum — log K levels of batched adds.
+  5. Horner across windows: c doublings + 1 add per window.
+
+This mirrors the role of MSMProvider (/root/reference/mpc-core/src/traits.rs:561)
+— share-local over public points, so the same kernel serves Plain/REP3/Shamir
+(REP3 runs it per additive component, rep3.rs:934-947).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .curve import CurveOps, ProjPoint
+
+
+def _signed_digits(scalar_limbs, nbits: int, c: int):
+    """(Ls, N) 16-bit limbs -> list of nw (N,) int32 signed digits."""
+    Ls, = scalar_limbs.shape[:1]
+    pad = jnp.concatenate(
+        [scalar_limbs, jnp.zeros((1,) + scalar_limbs.shape[1:], scalar_limbs.dtype)], 0
+    )
+    nw = -(-(nbits + 1) // c)
+    digits = []
+    carry = jnp.zeros(scalar_limbs.shape[1:], jnp.uint32)
+    half = 1 << (c - 1)
+    full = 1 << c
+    for t in range(nw):
+        lo = t * c
+        i, s = lo // 16, lo % 16
+        raw = pad[i] >> s
+        if s + c > 16:
+            raw = raw | (pad[i + 1] << (16 - s))
+        raw = raw & (full - 1)
+        val = raw + carry
+        is_neg = val > half
+        carry = jnp.where(is_neg | (val == full), jnp.uint32(1), jnp.uint32(0))
+        # val == full only when raw == full-1 and carry: digit 0, carry 1
+        digit = jnp.where(is_neg, val.astype(jnp.int32) - full, val.astype(jnp.int32))
+        digits.append(digit)
+    return digits
+
+
+class MSM:
+    def __init__(self, ops: CurveOps, c: int | None = None):
+        self.ops = ops
+        self.c = c
+        self._msm_jit = jax.jit(self._msm, static_argnums=(2, 3, 4))
+
+    def _window_c(self, n: int) -> int:
+        if self.c:
+            return self.c
+        # balance N adds vs K*logK scan work per window
+        return max(2, min(16, (max(n, 2).bit_length() + 1) // 2 + 2))
+
+    def _accumulate_window(self, points: ProjPoint, neg_points: ProjPoint, digit, K, max_waves):
+        ops = self.ops
+        n = digit.shape[0]
+        bucket = jnp.abs(digit)  # (N,) in [0, K]
+        order = jnp.argsort(bucket, stable=True)
+        sortedb = jnp.take(bucket, order)
+        # run starts & per-bucket start positions
+        prev = jnp.concatenate([jnp.array([-1], sortedb.dtype), sortedb[:-1]])
+        starts = sortedb != prev
+        arangeN = jnp.arange(n, dtype=jnp.int32)
+        # bucket_start[b] = position of first element of bucket b (n if absent);
+        # non-start rows scatter into the dump slot K+1 (min keeps duplicates safe)
+        bucket_start = jnp.full((K + 2,), n, jnp.int32)
+        bucket_start = bucket_start.at[
+            jnp.where(starts, sortedb, K + 1)
+        ].min(jnp.where(starts, arangeN, n), mode="drop")
+        bucket_start = bucket_start[: K + 1]
+
+        acc = ops.identity((K + 1,))
+        bidx = jnp.arange(K + 1, dtype=jnp.int32)
+
+        sel_pos = ProjPoint(points.x, points.y, points.z)
+        sel_neg = neg_points
+
+        def wave(w, acc):
+            pos = bucket_start + w
+            safe = jnp.clip(pos, 0, n - 1)
+            valid = (pos < n) & (jnp.take(sortedb, safe) == bidx) & (bidx > 0)
+            src = jnp.take(order, safe)  # original point index per bucket
+            dsel = jnp.take(digit, src) < 0
+            pt = jax.tree.map(lambda a: jnp.take(a, src, axis=1), sel_pos)
+            ptn = jax.tree.map(lambda a: jnp.take(a, src, axis=1), sel_neg)
+            ptsel = ops.select(dsel, ptn, pt)
+            added = ops.add(acc, ptsel)
+            return ops.select(valid, added, acc)
+
+        # number of waves actually needed = max run length among buckets>0
+        acc = jax.lax.fori_loop(0, max_waves, wave, acc)
+        return acc
+
+    def _bucket_reduce(self, acc: ProjPoint):
+        """sum_j j * B_j for j in 1..K: suffix sums S_k = sum_{j>=k} B_j,
+        then sum_k S_k — two Hillis-Steele passes (1 add per loop body)."""
+        ops = self.ops
+        tail = jax.tree.map(lambda a: a[:, 1:], acc)  # drop bucket 0
+        suffix = ops.suffix_sums(tail, axis=1)
+        return ops.sum(suffix, axis=1)
+
+    def _msm(self, points: ProjPoint, scalar_limbs, nbits: int, c: int, max_waves: int):
+        ops = self.ops
+        K = 1 << (c - 1)
+        digits = jnp.stack(_signed_digits(scalar_limbs, nbits, c))  # (nw, N)
+        neg_points = ops.neg(points)
+
+        def step(result, digit):
+            result = jax.lax.fori_loop(0, c, lambda _, r: ops.double(r), result)
+            acc = self._accumulate_window(points, neg_points, digit, K, max_waves)
+            wt = self._bucket_reduce(acc)
+            return ops.add(result, wt), None
+
+        # Horner over windows, MSB window first (one compiled window body)
+        result, _ = jax.lax.scan(step, ops.identity(()), digits[::-1])
+        return result
+
+    def msm(self, points: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:
+        """points: batched ProjPoint (coords (L, N)); scalars (Ls, N) 16-bit
+        standard-form limbs. Returns a single ProjPoint."""
+        n = scalar_limbs.shape[1]
+        if n == 0:
+            return self.ops.identity(())
+        nbits = nbits or 16 * scalar_limbs.shape[0]
+        c = self._window_c(n)
+        K = 1 << (c - 1)
+        # max bucket occupancy: mean + 6-sigma binomial tail (exact for small n)
+        mean = -(-n // K)
+        import math
+
+        max_waves = min(n, mean + 6 * math.isqrt(mean) + 16)
+        return self._msm_jit(points, scalar_limbs, nbits, c, max_waves)
+
+
+@functools.lru_cache(maxsize=None)
+def msm_engine(ops: CurveOps, c: int | None = None) -> MSM:
+    return MSM(ops, c)
