@@ -201,44 +201,42 @@ class Field:
     def double(self, a):
         return self.add(a, a)
 
-    def _mul_wide(self, a, b):
-        """Schoolbook product into 2L deferred-carry columns (< 2^31).
+    @functools.cached_property
+    def _antidiag_idx(self):
+        """idx[i, k] = (k - i) mod 2L: shifts row i right by i positions,
+        landing out-of-range positions in the zero pad (see _mul_wide)."""
+        L = self.L
+        k = np.arange(2 * L)[None, :]
+        i = np.arange(L)[:, None]
+        # keep as numpy: a jnp array materialized under a jit trace would be
+        # a tracer and must not be cached
+        return ((k - i) % (2 * L)).astype(np.int32)
 
-        Single batched-convolution formulation: operands are split into 8-bit
-        limbs (4L per element, products of 48 terms stay < 2^22 in int32 — no
-        lo/hi splitting, no carries), the polynomial product is ONE
-        lax.conv_general_dilated (grouped per batch element), and the 8-bit
-        columns fold back into 16-bit columns. Keeps the XLA graph ~10 ops
-        per multiply: compile-time and fusion friendly."""
+    def _mul_wide(self, a, b):
+        """Schoolbook product into 2L deferred-carry columns (< 2^23).
+
+        Formulation chosen for BOTH a tiny XLA graph (~10 primitives) and
+        full vectorization over the batch: one outer product (L, L, B), lo/hi
+        16-bit split, ONE take_along_axis gather that shifts row i by i
+        columns (the antidiagonal alignment), then a sum over rows."""
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        a = jnp.broadcast_to(a, (L,) + batch)
-        b = jnp.broadcast_to(b, (L,) + batch)
-        B = int(np.prod(batch)) if batch else 1
-        if B == 0:  # associative_scan probes zero-length slices
-            return jnp.zeros((2 * L,) + batch, U32)
-
-        def split8(x):
-            # (L, *batch) 16-bit -> (2L, B) 8-bit int32
-            x = x.reshape(L, B)
-            return jnp.stack([x & 0xFF, x >> 8], axis=1).reshape(2 * L, B).astype(jnp.int32)
-
-        a8 = split8(a)
-        b8 = split8(b)
-        # grouped conv: lhs (1, B, 2L), rhs (B, 1, 2L) reversed, full padding
-        lhs = a8.T[None]  # (1, B, 2L)
-        rhs = b8.T[:, None, ::-1]  # (B, 1, 2L) spatial-reversed
-        c8 = jax.lax.conv_general_dilated(
-            lhs,
-            rhs,
-            window_strides=(1,),
-            padding=[(2 * L - 1, 2 * L - 1)],
-            dimension_numbers=("NCW", "OIW", "NCW"),
-            feature_group_count=B,
-        )[0].T  # (4L-1, B)
-        c8 = jnp.concatenate([c8, jnp.zeros((1, B), c8.dtype)], 0).astype(U32)
-        c16 = c8[0::2] + (c8[1::2] << 8)  # (2L, B) columns < 2^31
-        return c16.reshape((2 * L,) + batch)
+        a = jnp.broadcast_to(a, (L,) + batch).reshape(L, -1)
+        b = jnp.broadcast_to(b, (L,) + batch).reshape(L, -1)
+        B = a.shape[1]
+        outer = a[:, None, :] * b[None, :, :]  # (L, L, B) u32
+        lo = outer & MASK
+        hi = outer >> W
+        z = jnp.zeros((L, L, B), U32)
+        lo_ext = jnp.concatenate([lo, z], axis=1)  # (L, 2L, B)
+        hi_ext = jnp.concatenate([hi, z], axis=1)
+        idx = self._antidiag_idx[:, :, None]
+        lo_sh = jnp.take_along_axis(lo_ext, idx, axis=1)
+        hi_sh = jnp.take_along_axis(hi_ext, idx, axis=1)
+        # hi terms belong one column higher: roll by 1 (no wrap — column 2L-1
+        # of the unrolled hi sums is empty since max i+j = 2L-2)
+        acc = jnp.sum(lo_sh, axis=0) + jnp.roll(jnp.sum(hi_sh, axis=0), 1, axis=0)
+        return acc.reshape((2 * L,) + batch)
 
     def _mont_reduce(self, acc):
         """2L deferred-carry columns -> canonical Montgomery residue < p.
