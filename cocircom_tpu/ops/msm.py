@@ -58,7 +58,7 @@ class MSM:
     def __init__(self, ops: CurveOps, c: int | None = None):
         self.ops = ops
         self.c = c
-        self._msm_jit = jax.jit(self._msm, static_argnums=(2, 3, 4))
+        self._msm_jit = jax.jit(self._msm, static_argnums=(2, 3))
 
     def _window_c(self, n: int) -> int:
         if self.c:
@@ -66,7 +66,7 @@ class MSM:
         # balance N adds vs K*logK scan work per window
         return max(2, min(16, (max(n, 2).bit_length() + 1) // 2 + 2))
 
-    def _accumulate_window(self, points: ProjPoint, neg_points: ProjPoint, digit, K, max_waves):
+    def _accumulate_window(self, points: ProjPoint, neg_points: ProjPoint, digit, K):
         ops = self.ops
         n = digit.shape[0]
         bucket = jnp.abs(digit)  # (N,) in [0, K]
@@ -83,27 +83,33 @@ class MSM:
             jnp.where(starts, sortedb, K + 1)
         ].min(jnp.where(starts, arangeN, n), mode="drop")
         bucket_start = bucket_start[: K + 1]
+        # exact wave count: the longest run among buckets > 0 (witness values
+        # repeat heavily in real circuits — no distributional assumptions!)
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(starts, arangeN, -1)
+        )
+        rank = arangeN - run_start
+        n_waves = jnp.max(jnp.where(sortedb > 0, rank, -1)) + 1
 
         acc = ops.identity((K + 1,))
         bidx = jnp.arange(K + 1, dtype=jnp.int32)
 
-        sel_pos = ProjPoint(points.x, points.y, points.z)
-        sel_neg = neg_points
-
-        def wave(w, acc):
+        def wave(state):
+            w, acc = state
             pos = bucket_start + w
             safe = jnp.clip(pos, 0, n - 1)
             valid = (pos < n) & (jnp.take(sortedb, safe) == bidx) & (bidx > 0)
             src = jnp.take(order, safe)  # original point index per bucket
             dsel = jnp.take(digit, src) < 0
-            pt = jax.tree.map(lambda a: jnp.take(a, src, axis=1), sel_pos)
-            ptn = jax.tree.map(lambda a: jnp.take(a, src, axis=1), sel_neg)
+            pt = jax.tree.map(lambda a: jnp.take(a, src, axis=1), points)
+            ptn = jax.tree.map(lambda a: jnp.take(a, src, axis=1), neg_points)
             ptsel = ops.select(dsel, ptn, pt)
             added = ops.add(acc, ptsel)
-            return ops.select(valid, added, acc)
+            return w + 1, ops.select(valid, added, acc)
 
-        # number of waves actually needed = max run length among buckets>0
-        acc = jax.lax.fori_loop(0, max_waves, wave, acc)
+        _, acc = jax.lax.while_loop(
+            lambda st: st[0] < n_waves, wave, (jnp.int32(0), acc)
+        )
         return acc
 
     def _bucket_reduce(self, acc: ProjPoint):
@@ -114,7 +120,7 @@ class MSM:
         suffix = ops.suffix_sums(tail, axis=1)
         return ops.sum(suffix, axis=1)
 
-    def _msm(self, points: ProjPoint, scalar_limbs, nbits: int, c: int, max_waves: int):
+    def _msm(self, points: ProjPoint, scalar_limbs, nbits: int, c: int):
         ops = self.ops
         K = 1 << (c - 1)
         digits = jnp.stack(_signed_digits(scalar_limbs, nbits, c))  # (nw, N)
@@ -122,7 +128,7 @@ class MSM:
 
         def step(result, digit):
             result = jax.lax.fori_loop(0, c, lambda _, r: ops.double(r), result)
-            acc = self._accumulate_window(points, neg_points, digit, K, max_waves)
+            acc = self._accumulate_window(points, neg_points, digit, K)
             wt = self._bucket_reduce(acc)
             return ops.add(result, wt), None
 
@@ -138,13 +144,7 @@ class MSM:
             return self.ops.identity(())
         nbits = nbits or 16 * scalar_limbs.shape[0]
         c = self._window_c(n)
-        K = 1 << (c - 1)
-        # max bucket occupancy: mean + 6-sigma binomial tail (exact for small n)
-        mean = -(-n // K)
-        import math
-
-        max_waves = min(n, mean + 6 * math.isqrt(mean) + 16)
-        return self._msm_jit(points, scalar_limbs, nbits, c, max_waves)
+        return self._msm_jit(points, scalar_limbs, nbits, c)
 
 
 @functools.lru_cache(maxsize=None)

@@ -60,3 +60,19 @@ def test_rep3_prove_verify():
     # all parties produce the same opened proof
     assert proofs[0] == proofs[1] == proofs[2]
     assert verify_groth16(vk, proofs[0], pub)
+
+
+def test_shamir_prove_verify():
+    from cocircom_tpu.mpc.shamir import ShamirDriver
+    from cocircom_tpu.snark.shared import split_witness_shamir
+
+    zk, w, vk, pub = load_case("bn254", "multiplier2")
+    shares = split_witness_shamir(w, zk.n_public, threshold=1, n_parties=3, seed=8)
+
+    def party(i, net):
+        d = ShamirDriver(curve_by_name("bn254"), net, threshold=1)
+        return CoGroth16(d).prove(zk, shares[i])
+
+    proofs = run_parties(party)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_groth16(vk, proofs[0], pub)
