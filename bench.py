@@ -1,0 +1,130 @@
+"""Benchmark harness: MSM / NTT / field-mul throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Headline metric (BASELINE.json): G1 MSM points/s/chip on BN254.
+
+Measurement notes for the axon-tunneled TPU:
+  * host<->device bandwidth through the relay is tiny and execution is
+    effectively lazy until a fetch — so ALL benchmark inputs are generated
+    ON-DEVICE (jax.random / tiny constants) and timing is measured from
+    dispatch to a 4-byte result fetch.
+
+Env knobs: COCIRCOM_BENCH_MSM_LOG (default 16), COCIRCOM_BENCH_NTT_LOG
+(default 20), COCIRCOM_BENCH_ITERS (default 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.makedirs("/root/.cache/cocircom_tpu/xla", exist_ok=True)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/cocircom_tpu/xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cocircom_tpu.fields.params import BN254  # noqa: E402
+from cocircom_tpu.ops.curve import g1_ops  # noqa: E402
+from cocircom_tpu.ops.field import get_field  # noqa: E402
+from cocircom_tpu.ops.msm import msm_engine  # noqa: E402
+from cocircom_tpu.ops.ntt import ntt_engine  # noqa: E402
+
+
+def fetch(x):
+    """Force completion: pull 1 element of the first leaf to the host."""
+    leaf = jax.tree.leaves(x)[0]
+    flat = leaf.reshape(-1)[:1]
+    return np.asarray(jax.device_get(flat))
+
+
+def timed(fn, iters: int):
+    fetch(fn())  # compile + flush the lazy queue
+    t0 = time.time()
+    out = None
+    for _ in range(iters):
+        out = fn()
+    fetch(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    msm_log = int(os.environ.get("COCIRCOM_BENCH_MSM_LOG", "16"))
+    ntt_log = int(os.environ.get("COCIRCOM_BENCH_NTT_LOG", "20"))
+    iters = int(os.environ.get("COCIRCOM_BENCH_ITERS", "2"))
+
+    curve = BN254
+    fr = get_field(curve.fr.p, curve.name + ".fr")
+    ops = g1_ops(curve)
+    eng = msm_engine(ops)
+    ntt = ntt_engine(fr, curve.fr)
+    platform = jax.devices()[0].platform
+    dev = str(jax.devices()[0])
+
+    n = 1 << msm_log
+
+    # --- on-device input generation (tunnel-friendly) ---
+    key = jax.random.key(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+
+    @jax.jit
+    def gen_points():
+        gen = ops.encode_points([curve.g1_gen])
+        genb = jax.tree.map(lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], n)), gen)
+        small = jax.random.bits(k1, (1, n), jnp.uint32) & 0x7FFF | 1
+        return ops.scalar_mul(genb, small, nbits=16)
+
+    @jax.jit
+    def gen_scalars():
+        s = jax.random.bits(k2, (fr.L, n), jnp.uint32) & 0xFFFF
+        return s.at[fr.L - 1].set(s[fr.L - 1] & 0x3FFF)
+
+    pts = gen_points()
+    scalars = gen_scalars()
+    fetch(pts)
+
+    c = eng._window_c(n)
+    msm_t = timed(lambda: eng._msm_jit(pts, scalars, 16 * fr.L, c), iters)
+    msm_pps = n / msm_t
+
+    # --- NTT ---
+    m = 1 << ntt_log
+
+    @jax.jit
+    def gen_coeffs():
+        raw = jax.random.bits(k3, (fr.L, m), jnp.uint32) & 0xFFFF
+        return fr._cond_sub_p(raw.at[fr.L - 1].set(raw[fr.L - 1] & 0x3FFF))
+
+    coeffs = gen_coeffs()
+    ntt_t = timed(lambda: ntt.ntt(coeffs), iters)
+
+    # --- field mul throughput at NTT size ---
+    mm_t = timed(lambda: fr.mont_mul(coeffs, coeffs), max(iters, 4))
+
+    line = {
+        "metric": "msm_g1_points_per_sec_per_chip",
+        "value": round(msm_pps, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": 1.0,
+        "platform": platform,
+        "device": dev,
+        "msm_n": n,
+        "msm_ms": round(msm_t * 1e3, 2),
+        "ntt_n": m,
+        "ntt_ms": round(ntt_t * 1e3, 2),
+        "mont_mul_per_sec": round(m / mm_t, 1),
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

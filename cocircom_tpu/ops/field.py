@@ -48,7 +48,9 @@ class Field:
         if not (2 * p < self.R):
             raise ValueError("need 2p < R for single conditional subtraction")
         self.n0inv = np.uint32((-pow(p, -1, 1 << W)) % (1 << W))
+        self.nprime = (-pow(p, -1, self.R)) % self.R  # full -N^{-1} mod R
         self.p_limbs = self._int_to_limbs_np(p)
+        self.nprime_limbs = self._int_to_limbs_np(self.nprime)
         self.r_mod_p = self.R % p  # == to_mont(1)
         self.one_mont_np = self._int_to_limbs_np(self.r_mod_p)
         self.r2 = (self.R * self.R) % p
@@ -201,68 +203,49 @@ class Field:
     def double(self, a):
         return self.add(a, a)
 
-    @functools.cached_property
-    def _antidiag_idx(self):
-        """idx[i, k] = (k - i) mod 2L: shifts row i right by i positions,
-        landing out-of-range positions in the zero pad (see _mul_wide)."""
-        L = self.L
-        k = np.arange(2 * L)[None, :]
-        i = np.arange(L)[:, None]
-        # keep as numpy: a jnp array materialized under a jit trace would be
-        # a tracer and must not be cached
-        return ((k - i) % (2 * L)).astype(np.int32)
+    def _mul_cols(self, a, b, ncols: int):
+        """Schoolbook product of 16-bit-limb operands into `ncols`
+        deferred-carry columns (each < 2L * 2^16 < 2^21).
 
-    def _mul_wide(self, a, b):
-        """Schoolbook product into 2L deferred-carry columns (< 2^23).
-
-        Formulation chosen for BOTH a tiny XLA graph (~10 primitives) and
-        full vectorization over the batch: one outer product (L, L, B), lo/hi
-        16-bit split, ONE take_along_axis gather that shifts row i by i
-        columns (the antidiagonal alignment), then a sum over rows."""
+        Static pad-and-add rows: no gathers (TPU gathers off the lane axis
+        are slow), no dynamic-update-slices, fuses into a handful of
+        elementwise passes."""
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        a = jnp.broadcast_to(a, (L,) + batch).reshape(L, -1)
-        b = jnp.broadcast_to(b, (L,) + batch).reshape(L, -1)
-        B = a.shape[1]
-        outer = a[:, None, :] * b[None, :, :]  # (L, L, B) u32
-        lo = outer & MASK
-        hi = outer >> W
-        z = jnp.zeros((L, L, B), U32)
-        lo_ext = jnp.concatenate([lo, z], axis=1)  # (L, 2L, B)
-        hi_ext = jnp.concatenate([hi, z], axis=1)
-        idx = self._antidiag_idx[:, :, None]
-        lo_sh = jnp.take_along_axis(lo_ext, idx, axis=1)
-        hi_sh = jnp.take_along_axis(hi_ext, idx, axis=1)
-        # hi terms belong one column higher: roll by 1 (no wrap — column 2L-1
-        # of the unrolled hi sums is empty since max i+j = 2L-2)
-        acc = jnp.sum(lo_sh, axis=0) + jnp.roll(jnp.sum(hi_sh, axis=0), 1, axis=0)
-        return acc.reshape((2 * L,) + batch)
+        a = jnp.broadcast_to(a, (L,) + batch)
+        b = jnp.broadcast_to(b, (L,) + batch)
+        acc = jnp.zeros((ncols,) + batch, U32)
+        zpad = [(0, 0)] * len(batch)
+        for i in range(L):
+            prod = a[i] * b  # (L, *batch) u32 < 2^32
+            lo = prod & MASK
+            hi = prod >> W
+            wlo = min(L, ncols - i)
+            whi = min(L, ncols - i - 1)
+            if wlo > 0:
+                acc = acc + jnp.pad(lo[:wlo], [(i, ncols - i - wlo)] + zpad)
+            if whi > 0:
+                acc = acc + jnp.pad(hi[:whi], [(i + 1, ncols - i - 1 - whi)] + zpad)
+        return acc
+
+    def _mul_wide(self, a, b):
+        return self._mul_cols(a, b, 2 * self.L)
 
     def _mont_reduce(self, acc):
-        """2L deferred-carry columns -> canonical Montgomery residue < p.
-
-        fori_loop over the L reduction steps: one small loop body instead of
-        L unrolled dynamic-update-slice chains."""
+        """Wide deferred-carry columns (VALUE < R*p) -> canonical Montgomery
+        residue < p, via full-width REDC:
+            q = (T mod R) * (-p^-1 mod R) mod R ;  res = (T + q*p) / R < 2p
+        Three parallel wide multiplies + carry scans — no serial per-limb
+        reduction loop (the TPU-friendly formulation)."""
         L = self.L
-        nb = self._bcast_const(self.p_limbs, acc.shape[1:])
-        # rotate-based formulation: keep the "current" column at index 0 by
-        # rolling the accumulator once per step; all indexing is static.
-        #   step: m = acc[0]*n0inv mod 2^16 ; acc += m*n (lo at 0.., hi at 1..)
-        #   then acc[1] += acc[0] >> 16 ; drop acc[0] ; roll left.
-        zrow = jnp.zeros((1,) + acc.shape[1:], U32)
-
-        def body(_, acc):
-            m = (acc[0] * self.n0inv) & MASK
-            prod = m * nb  # (L, *batch)
-            lo = jnp.concatenate([prod & MASK, jnp.zeros_like(prod)], 0)
-            hi = jnp.concatenate([zrow, prod >> W, jnp.zeros_like(prod)[1:]], 0)
-            acc = acc + lo + hi
-            acc = acc.at[1].add(acc[0] >> W)
-            return jnp.concatenate([acc[1:], zrow], 0)
-
-        acc = jax.lax.fori_loop(0, L, body, acc, unroll=False)
-        res = self._carry(acc[:L])
-        return self._cond_sub_p(res)
+        batch = acc.shape[1:]
+        nb = self._bcast_const(self.p_limbs, batch)
+        npb = self._bcast_const(self.nprime_limbs, batch)
+        Tc = self._carry(acc)  # canonical 2L limbs (value < R^2 always fits)
+        q = self._carry(self._mul_cols(Tc[:L], npb, L))  # q = T*N' mod R
+        S = Tc + self._mul_cols(q, nb, 2 * L)
+        Sc = self._carry(S)
+        return self._cond_sub_p(Sc[L:])
 
     def mont_mul(self, a, b):
         return self._mont_reduce(self._mul_wide(a, b))

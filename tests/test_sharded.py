@@ -1,0 +1,73 @@
+"""Sharded MSM / prover-core over a virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cocircom_tpu.fields.ec_host import ec_add, ec_mul
+from cocircom_tpu.fields.params import BN254
+from cocircom_tpu.ops.curve import g1_ops
+from cocircom_tpu.ops.field import get_field
+from cocircom_tpu.parallel.sharded import prover_core_step, sharded_msm
+from cocircom_tpu.pairing.tower import Tower
+
+requires_multi = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_multi
+def test_sharded_msm_matches_host():
+    curve = BN254
+    rng = random.Random(51)
+    n = 16
+    t = Tower(curve)
+    g = (t.fp(curve.g1_gen[0]), t.fp(curve.g1_gen[1]))
+    hostP = [ec_mul(g, rng.randrange(1, curve.fr.p)) for _ in range(n)]
+    scalars = [rng.randrange(curve.fr.p) for _ in range(n)]
+    want = None
+    for s, p in zip(scalars, hostP):
+        want = ec_add(want, ec_mul(p, s))
+
+    ops = g1_ops(curve)
+    frf = get_field(curve.fr.p)
+    P = ops.encode_points([(p[0].v, p[1].v) for p in hostP])
+    sl = jnp.asarray(frf.to_limbs(scalars))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fn = sharded_msm(ops, mesh)
+    res = fn(P, sl)
+    got = ops.decode_points(jax.tree.map(lambda c: jnp.expand_dims(c, 1), res))[0]
+    assert got == (want[0].v, want[1].v)
+
+
+@requires_multi
+def test_prover_core_step_runs():
+    curve = BN254
+    rng = random.Random(52)
+    n = 16
+    frf = get_field(curve.fr.p)
+    ops = g1_ops(curve)
+    t = Tower(curve)
+    g = (t.fp(curve.g1_gen[0]), t.fp(curve.g1_gen[1]))
+    hostP = [ec_mul(g, k + 1) for k in range(n)]
+    P = ops.encode_points([(p[0].v, p[1].v) for p in hostP])
+    a = frf.encode([rng.randrange(frf.p) for _ in range(n)])
+    b = frf.encode([rng.randrange(frf.p) for _ in range(n)])
+    c = frf.encode([rng.randrange(frf.p) for _ in range(n)])
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    step = prover_core_step(curve, mesh)
+    rx, ry, rz = step(a, b, c, P.x, P.y, P.z)
+    # cross-check against unsharded compute
+    from cocircom_tpu.ops.msm import msm_engine
+
+    h = frf.sub(frf.mont_mul(a, b), c)
+    want = msm_engine(ops).msm(P, frf.from_mont(h))
+    got_pt = jax.tree.map(lambda x: jnp.expand_dims(jnp.asarray(x), 1), (rx, ry, rz))
+    want_e = jax.tree.map(lambda x: jnp.expand_dims(x, 1), want)
+    from cocircom_tpu.ops.curve import ProjPoint
+
+    assert ops.decode_points(ProjPoint(*got_pt)) == ops.decode_points(want_e)
