@@ -22,13 +22,13 @@ import os
 import sys
 import time
 
-os.makedirs("/root/.cache/cocircom_tpu/xla", exist_ok=True)
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/cocircom_tpu/xla")
+CACHE_DIR = "/root/.cache/cocircom_tpu/xla-" + jax.default_backend()
+os.makedirs(CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

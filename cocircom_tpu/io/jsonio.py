@@ -97,3 +97,49 @@ def parse_public_inputs(data: str | bytes) -> list[int]:
 
 def dump_public_inputs(vals) -> str:
     return json.dumps([str(int(v)) for v in vals], indent=1)
+
+
+# ---------------------------------------------------------------- PLONK
+
+
+def parse_plonk_vk(data: str | bytes | dict):
+    d = data if isinstance(data, dict) else json.loads(data)
+    curve = curve_by_name(d["curve"])
+    return {
+        "curve": curve,
+        "n_public": int(d["nPublic"]),
+        "power": int(d["power"]),
+        "k1": int(d["k1"]),
+        "k2": int(d["k2"]),
+        "qm": g1_from_json(curve, d["Qm"]),
+        "ql": g1_from_json(curve, d["Ql"]),
+        "qr": g1_from_json(curve, d["Qr"]),
+        "qo": g1_from_json(curve, d["Qo"]),
+        "qc": g1_from_json(curve, d["Qc"]),
+        "s1": g1_from_json(curve, d["S1"]),
+        "s2": g1_from_json(curve, d["S2"]),
+        "s3": g1_from_json(curve, d["S3"]),
+        "x_2": g2_from_json(curve, d["X_2"]),
+    }
+
+
+def parse_plonk_proof(data: str | bytes | dict):
+    d = data if isinstance(data, dict) else json.loads(data)
+    curve = curve_by_name(d["curve"])
+    out = {"curve": curve}
+    for k in ("A", "B", "C", "Z", "T1", "T2", "T3", "Wxi", "Wxiw"):
+        out[k] = g1_from_json(curve, d[k])
+    for k in ("eval_a", "eval_b", "eval_c", "eval_s1", "eval_s2", "eval_zw"):
+        out[k] = int(d[k])
+    return out
+
+
+def dump_plonk_proof(curve: CurveParams, proof: dict) -> str:
+    d = {}
+    for k in ("A", "B", "C", "Z", "T1", "T2", "T3", "Wxi", "Wxiw"):
+        d[k] = g1_to_json(proof[k])
+    for k in ("eval_a", "eval_b", "eval_c", "eval_s1", "eval_s2", "eval_zw"):
+        d[k] = str(int(proof[k]))
+    d["protocol"] = "plonk"
+    d["curve"] = curve.circom_name
+    return json.dumps(d, indent=1)

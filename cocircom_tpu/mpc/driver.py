@@ -90,6 +90,60 @@ class Driver:
     def host_g2(self, pt) -> ProjPoint:
         return self.g2.encode_points([pt])
 
+    # ---- generic share-tree helpers (shares are pytrees of (L, n) limbs) ----
+
+    def broadcast_share(self, x, n: int):
+        """single share (batch () or (1,)) -> batch (n,)."""
+        return jax.tree.map(
+            lambda c: jnp.broadcast_to(
+                c[:, None] if c.ndim == 1 else c[:, :1], (c.shape[0], n)
+            ),
+            x,
+        )
+
+    def sum_vec(self, x):
+        """Reduce a share vector along its batch axis (local, linear)."""
+        return jax.tree.map(lambda c: self.fr.sum(c), x)
+
+    def index_share(self, x, i: int):
+        return jax.tree.map(lambda c: c[:, i], x)
+
+    def stack_shares(self, xs: list):
+        return jax.tree.map(lambda *cs: jnp.stack(cs, axis=1), *xs)
+
+    def evaluate_poly_public(self, coeffs_share, xi: int):
+        """Evaluate a shared polynomial at a public point (local)."""
+        from ..ops.ntt import power_table
+
+        n = jax.tree.leaves(coeffs_share)[0].shape[1]
+        pows = power_table(self.fr, xi, n)
+        return self.sum_vec(self.mul_public(coeffs_share, pows))
+
+    def prefix_mul(self, x):
+        """Inclusive prefix products of a share vector in CONSTANT rounds
+        (Ozdemir-Boneh masking; parity: co-plonk round2.rs array_prod_mul):
+        blind with r_i, open r_i*x_i*r_{i+1}^-1, local public prefix scan,
+        unblind with r_0^-1 * r_{i+1}."""
+        n = jax.tree.leaves(x)[0].shape[1]
+        r = self.rand((n + 1,))
+        r_inv = self.inv_many(r)
+        r_inv0 = self.broadcast_share(self.slice_share(r_inv, 0, 1), n)
+        unblind = self.mul_vec(r_inv0, self.slice_share(r, 1, n + 1))
+        blinded = self.mul_vec(self.slice_share(r, 0, n), x)
+        opened = self.mul_open_many(blinded, self.slice_share(r_inv, 1, n + 1))
+        cum = self.fr.cumprod(opened)
+        return self.mul_public(unblind, cum)
+
+    def slice_share(self, x, lo: int, hi: int):
+        return jax.tree.map(lambda c: c[:, lo:hi], x)
+
+    def concat_shares(self, *xs):
+        return jax.tree.map(lambda *cs: jnp.concatenate(cs, axis=1), *xs)
+
+    def stack_points(self, pts: list):
+        """list of single point-shares -> batched point-share (batch k)."""
+        return jax.tree.map(lambda *cs: jnp.stack(cs, axis=-1), *pts)
+
 
 class PlainDriver(Driver):
     """Single-party ground-truth driver (reference plain.rs:63)."""
@@ -124,6 +178,9 @@ class PlainDriver(Driver):
         return self.fr.mont_mul(a, b)
 
     def mul(self, a, b):
+        return self.fr.mont_mul(a, b)
+
+    def mul_open_many(self, a, b):
         return self.fr.mont_mul(a, b)
 
     def rand(self, shape=()):

@@ -221,6 +221,9 @@ class ShamirDriver(Driver):
 
     open = open_many
 
+    def mul_open_many(self, a, b):
+        return self.open_many(self.mul_vec(a, b))
+
     def inv_many(self, x):
         r = self.rand(x.shape[1:])
         rx = self.mul_vec(r, x)

@@ -324,6 +324,46 @@ class Field:
         out = self.mont_mul(self.mont_mul(pre, suf), total_inv)
         return jnp.where(zmask[None], jnp.zeros_like(out), out)
 
+    def prefix_sums(self, a, axis: int = 1):
+        """Inclusive prefix sums along a batch axis (masked Hillis-Steele,
+        one modular add per fori body)."""
+        batch = a.shape[1:]
+        n = batch[axis - 1]
+        if n <= 1:
+            return a
+        steps = (n - 1).bit_length()
+        pos_shape = tuple(d if i == axis - 1 else 1 for i, d in enumerate(batch))
+        pos = jnp.arange(n, dtype=jnp.int32).reshape(pos_shape)
+        pos = jnp.broadcast_to(pos, batch)
+
+        def body(s, x):
+            shift = jnp.left_shift(jnp.int32(1), s)
+            rolled = jnp.roll(x, shift, axis=axis)
+            valid = pos >= shift
+            return jnp.where(valid[None], self.add(x, rolled), x)
+
+        return jax.lax.fori_loop(0, steps, body, a)
+
+    def cumprod(self, a, axis: int = 1):
+        """Inclusive prefix products (public values, Montgomery domain)."""
+        batch = a.shape[1:]
+        n = batch[axis - 1]
+        if n <= 1:
+            return a
+        steps = (n - 1).bit_length()
+        pos_shape = tuple(d if i == axis - 1 else 1 for i, d in enumerate(batch))
+        pos = jnp.arange(n, dtype=jnp.int32).reshape(pos_shape)
+        pos = jnp.broadcast_to(pos, batch)
+        one = jnp.broadcast_to(self._bcast_const(self.one_mont_np, batch), a.shape)
+
+        def body(s, x):
+            shift = jnp.left_shift(jnp.int32(1), s)
+            rolled = jnp.roll(x, shift, axis=axis)
+            rolled = jnp.where((pos >= shift)[None], rolled, one)
+            return self.mont_mul(x, rolled)
+
+        return jax.lax.fori_loop(0, steps, body, a)
+
     # ------------------------------------------------------------------
     # randomness
     # ------------------------------------------------------------------

@@ -66,43 +66,60 @@ class MSM:
         # balance N adds vs K*logK scan work per window
         return max(2, min(16, (max(n, 2).bit_length() + 1) // 2 + 2))
 
-    def _accumulate_window(self, points: ProjPoint, neg_points: ProjPoint, digit, K):
+    def _msm(self, points: ProjPoint, scalar_limbs, nbits: int, c: int):
+        """ALL windows processed simultaneously: the wave loop batches
+        (nw, K+1) bucket accumulators into every curve add — the difference
+        between latency-bound 1K-lane adds and full VPU occupancy."""
         ops = self.ops
-        n = digit.shape[0]
-        bucket = jnp.abs(digit)  # (N,) in [0, K]
-        order = jnp.argsort(bucket, stable=True)
-        sortedb = jnp.take(bucket, order)
-        # run starts & per-bucket start positions
-        prev = jnp.concatenate([jnp.array([-1], sortedb.dtype), sortedb[:-1]])
+        K = 1 << (c - 1)
+        digits = jnp.stack(_signed_digits(scalar_limbs, nbits, c))  # (nw, N)
+        nw, n = digits.shape
+        neg_points = ops.neg(points)
+
+        bucket = jnp.abs(digits)  # (nw, N)
+        order = jnp.argsort(bucket, axis=1, stable=True)
+        sortedb = jnp.take_along_axis(bucket, order, axis=1)
+        prev = jnp.concatenate(
+            [jnp.full((nw, 1), -1, sortedb.dtype), sortedb[:, :-1]], axis=1
+        )
         starts = sortedb != prev
-        arangeN = jnp.arange(n, dtype=jnp.int32)
-        # bucket_start[b] = position of first element of bucket b (n if absent);
-        # non-start rows scatter into the dump slot K+1 (min keeps duplicates safe)
-        bucket_start = jnp.full((K + 2,), n, jnp.int32)
-        bucket_start = bucket_start.at[
-            jnp.where(starts, sortedb, K + 1)
-        ].min(jnp.where(starts, arangeN, n), mode="drop")
-        bucket_start = bucket_start[: K + 1]
-        # exact wave count: the longest run among buckets > 0 (witness values
-        # repeat heavily in real circuits — no distributional assumptions!)
+        arangeN = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nw, n))
+        # per-window bucket start positions (dump slot K+1 for non-starts)
+        woff = jnp.arange(nw, dtype=jnp.int32)[:, None] * (K + 2)
+        flat_idx = (jnp.where(starts, sortedb, K + 1) + woff).reshape(-1)
+        bucket_start = jnp.full((nw * (K + 2),), n, jnp.int32)
+        bucket_start = bucket_start.at[flat_idx].min(
+            jnp.where(starts, arangeN, n).reshape(-1), mode="drop"
+        )
+        bucket_start = bucket_start.reshape(nw, K + 2)[:, : K + 1]
+        # exact wave count: longest run among buckets > 0 across all windows
         run_start = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(starts, arangeN, -1)
+            jnp.maximum, jnp.where(starts, arangeN, -1), axis=1
         )
         rank = arangeN - run_start
         n_waves = jnp.max(jnp.where(sortedb > 0, rank, -1)) + 1
 
-        acc = ops.identity((K + 1,))
-        bidx = jnp.arange(K + 1, dtype=jnp.int32)
+        acc = ops.identity((nw, K + 1))
+        bidx = jnp.broadcast_to(jnp.arange(K + 1, dtype=jnp.int32), (nw, K + 1))
+
+        def gather_pts(pts, src):
+            return jax.tree.map(
+                lambda a: jnp.take(a, src.reshape(-1), axis=1).reshape(
+                    a.shape[:1] + src.shape
+                ),
+                pts,
+            )
 
         def wave(state):
             w, acc = state
-            pos = bucket_start + w
+            pos = bucket_start + w  # (nw, K+1)
             safe = jnp.clip(pos, 0, n - 1)
-            valid = (pos < n) & (jnp.take(sortedb, safe) == bidx) & (bidx > 0)
-            src = jnp.take(order, safe)  # original point index per bucket
-            dsel = jnp.take(digit, src) < 0
-            pt = jax.tree.map(lambda a: jnp.take(a, src, axis=1), points)
-            ptn = jax.tree.map(lambda a: jnp.take(a, src, axis=1), neg_points)
+            sb = jnp.take_along_axis(sortedb, safe, axis=1)
+            valid = (pos < n) & (sb == bidx) & (bidx > 0)
+            src = jnp.take_along_axis(order, safe, axis=1)  # original indices
+            dsel = jnp.take_along_axis(digits, src, axis=1) < 0
+            pt = gather_pts(points, src)
+            ptn = gather_pts(neg_points, src)
             ptsel = ops.select(dsel, ptn, pt)
             added = ops.add(acc, ptsel)
             return w + 1, ops.select(valid, added, acc)
@@ -110,30 +127,22 @@ class MSM:
         _, acc = jax.lax.while_loop(
             lambda st: st[0] < n_waves, wave, (jnp.int32(0), acc)
         )
-        return acc
 
-    def _bucket_reduce(self, acc: ProjPoint):
-        """sum_j j * B_j for j in 1..K: suffix sums S_k = sum_{j>=k} B_j,
-        then sum_k S_k — two Hillis-Steele passes (1 add per loop body)."""
-        ops = self.ops
-        tail = jax.tree.map(lambda a: a[:, 1:], acc)  # drop bucket 0
-        suffix = ops.suffix_sums(tail, axis=1)
-        return ops.sum(suffix, axis=1)
+        # bucket reduction, batched over windows: sum_j j*B_j per window
+        # = sum_k S_k where S_k = sum_{j>=k} B_j  (two suffix-sum passes)
+        tail = jax.tree.map(lambda a: a[:, :, 1:], acc)  # (L, nw, K)
+        suffix = ops.suffix_sums(tail, axis=2)
+        suffix2 = ops.suffix_sums(suffix, axis=2)
+        wsums = jax.tree.map(lambda a: jnp.take(a, 0, axis=2), suffix2)  # (L, nw)
 
-    def _msm(self, points: ProjPoint, scalar_limbs, nbits: int, c: int):
-        ops = self.ops
-        K = 1 << (c - 1)
-        digits = jnp.stack(_signed_digits(scalar_limbs, nbits, c))  # (nw, N)
-        neg_points = ops.neg(points)
+        # Horner across windows (MSB first): result = 2^c * result + W_t
+        xs = jax.tree.map(lambda a: jnp.moveaxis(a, 1, 0)[::-1], wsums)
 
-        def step(result, digit):
+        def step(result, wt):
             result = jax.lax.fori_loop(0, c, lambda _, r: ops.double(r), result)
-            acc = self._accumulate_window(points, neg_points, digit, K)
-            wt = self._bucket_reduce(acc)
             return ops.add(result, wt), None
 
-        # Horner over windows, MSB window first (one compiled window body)
-        result, _ = jax.lax.scan(step, ops.identity(()), digits[::-1])
+        result, _ = jax.lax.scan(step, ops.identity(()), xs)
         return result
 
     def msm(self, points: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:

@@ -132,6 +132,19 @@ class NTTEngine:
         return t[:, :n]
 
 
+def power_table(f: Field, g: int, n: int):
+    """[1, g, g^2, ..., g^(n-1)] as (L, n) Montgomery limbs (uncached — for
+    per-proof dynamic bases like Fiat-Shamir challenges)."""
+    if n == 1:
+        return f.encode([1])
+    t = f.encode([1, g % f.p])
+    gcur = g * g % f.p
+    while t.shape[1] < n:
+        t = jnp.concatenate([t, f.mont_mul(t, f.encode([gcur]))], axis=1)
+        gcur = gcur * gcur % f.p
+    return t[:, :n]
+
+
 @functools.lru_cache(maxsize=None)
 def ntt_engine(f: Field, host: HostField) -> NTTEngine:
     return NTTEngine(f, host)

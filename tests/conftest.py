@@ -22,8 +22,9 @@ import jax  # noqa: E402,F401
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: field/curve kernels compile once per machine
-os.makedirs("/root/.cache/cocircom_tpu/xla", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/cocircom_tpu/xla")
+CACHE_DIR = "/root/.cache/cocircom_tpu/xla-" + (jax.default_backend() if "jax" in dir() else "x")
+os.makedirs(CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
