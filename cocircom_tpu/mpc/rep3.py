@@ -97,6 +97,15 @@ class Rep3Driver(Driver):
         seed_prev = int(net.recv_prev())
         self.rngs = Rep3Rngs(seed_self, seed_prev)
 
+    @property
+    def binary(self):
+        """Binary-domain ops (a2b, comparisons, bit circuits)."""
+        if not hasattr(self, "_binary"):
+            from .rep3_binary import Rep3Binary
+
+            self._binary = Rep3Binary(self)
+        return self._binary
+
     # ------------------------------------------------------- share algebra
 
     def promote_public(self, vals_mont):

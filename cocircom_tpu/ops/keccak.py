@@ -52,7 +52,45 @@ def _keccak_f(state: list[int]) -> None:
         state[0] ^= _RC[rnd]
 
 
+def _load_native():
+    """ctypes binding to native/libcocircom_native.so (built by
+    native/build.sh); pure-python fallback when absent."""
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libcocircom_native.so",
+    )
+    if not os.path.isfile(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        fn = lib.cocircom_keccak256
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p]
+        fn.restype = None
+
+        def native_keccak256(data: bytes) -> bytes:
+            out = ctypes.create_string_buffer(32)
+            fn(data, len(data), out)
+            return out.raw
+
+        return native_keccak256
+    except OSError:
+        return None
+
+
+_native_keccak = _load_native()
+
+
 def keccak256(data: bytes) -> bytes:
+    if _native_keccak is not None:
+        return _native_keccak(data)
+    return _py_keccak256(data)
+
+
+def _py_keccak256(data: bytes) -> bytes:
     rate = 136  # 1088-bit rate for 256-bit output
     state = [0] * 25
     # pad10*1 with domain byte 0x01 (keccak, not sha3's 0x06)

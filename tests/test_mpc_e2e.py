@@ -1,0 +1,68 @@
+"""Cross-protocol e2e: REP3 co-PLONK proving and REP3 poseidon witness
+extension (BASELINE.json configs)."""
+
+import json
+import os
+
+import pytest
+
+from cocircom_tpu.fields.params import BN254, curve_by_name
+from cocircom_tpu.io.jsonio import parse_plonk_vk, parse_public_inputs
+from cocircom_tpu.io.plonk_zkey import read_plonk_zkey
+from cocircom_tpu.io.witness import read_wtns
+from cocircom_tpu.mpc.rep3 import Rep3Driver, share_field_vec
+from cocircom_tpu.mpc.runner import run_parties
+from cocircom_tpu.ops.field import get_field
+from cocircom_tpu.snark.plonk import CoPlonk
+from cocircom_tpu.snark.plonk_verify import verify_plonk
+from cocircom_tpu.snark.shared import split_witness_rep3
+from cocircom_tpu.vm.compiler import compile_circom
+from cocircom_tpu.vm.mpc_vm import WitnessExtension, flatten_inputs
+
+TV = "/root/reference/test_vectors"
+pytestmark = pytest.mark.skipif(not os.path.isdir(TV), reason="no reference vectors")
+
+FR = get_field(BN254.fr.p, "bn254.fr")
+
+
+def test_rep3_plonk_prove_verify():
+    base = os.path.join(TV, "Plonk", "bn254", "multiplier2")
+    zk = read_plonk_zkey(open(os.path.join(base, "circuit.zkey"), "rb").read())
+    w = read_wtns(open(os.path.join(base, "witness.wtns"), "rb").read())
+    vk = parse_plonk_vk(open(os.path.join(base, "verification_key.json"), "rb").read())
+    pub = parse_public_inputs(open(os.path.join(base, "public.json"), "rb").read())
+    shares = split_witness_rep3(w, zk.n_public, seed=13)
+
+    def party(i, net):
+        d = Rep3Driver(curve_by_name("bn254"), net)
+        return CoPlonk(d).prove(zk, shares[i])
+
+    proofs = run_parties(party)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_plonk(vk, proofs[0], pub)
+
+
+def test_rep3_poseidon_witness_extension():
+    """Poseidon is arithmetic-only: the REP3 VM covers it end-to-end."""
+    we = os.path.join(TV, "WitnessExtension")
+    src = open(os.path.join(we, "tests", "poseidon_hasher1.circom")).read()
+    circuit = compile_circom(src, BN254, link=[os.path.join(we, "tests", "libs")])
+    inputs = json.load(open(os.path.join(we, "kats", "poseidon_hasher1", "input0.json")))
+    want = read_wtns(
+        open(os.path.join(we, "kats", "poseidon_hasher1", "witness0.wtns"), "rb").read()
+    ).values_ints()
+
+    flat = flatten_inputs(inputs["in"])
+    shares = share_field_vec(FR, FR.encode(flat), seed=99)
+
+    def party(i, net):
+        d = Rep3Driver(BN254, net)
+        vm = WitnessExtension(d, circuit)
+        wshare = vm.run_shared(shares[i], vm.all_input_slots())
+        out_slot = circuit.output_slots["out"][0]
+        opened = d.open_many(wshare)
+        return [int(v) for v in FR.from_limbs(FR.from_mont(opened))][out_slot]
+
+    results = run_parties(party)
+    # the KAT output (poseidon hash) — index 1 of the committed witness
+    assert results[0] == results[1] == results[2] == want[1]

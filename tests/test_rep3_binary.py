@@ -1,0 +1,50 @@
+"""REP3 binary domain: a2b roundtrip, comparisons, bit injection."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+
+from cocircom_tpu.fields.params import BN254
+from cocircom_tpu.mpc.rep3 import Rep3Driver, share_field_vec
+from cocircom_tpu.mpc.rep3_binary import shl_bits, shr_bits
+from cocircom_tpu.mpc.runner import run_parties
+from cocircom_tpu.ops.field import get_field
+
+FR = get_field(BN254.fr.p, "bn254.fr")
+
+
+def test_bit_shifts_on_limbs():
+    rng = random.Random(61)
+    vals = [rng.randrange(1 << 254) for _ in range(4)]
+    x = jnp.asarray(FR.to_limbs(vals))
+    for s in (1, 5, 16, 23, 128):
+        lsh = [int(v) for v in FR.from_limbs(shl_bits(x, s))]
+        rsh = [int(v) for v in FR.from_limbs(shr_bits(x, s))]
+        assert lsh == [(v << s) % (1 << 256) for v in vals]
+        assert rsh == [v >> s for v in vals]
+
+
+def test_a2b_roundtrip_and_compare():
+    rng = random.Random(62)
+    n = 5
+    x = [rng.randrange(FR.p) for _ in range(n - 2)] + [0, FR.p - 1]
+    y = [rng.randrange(FR.p) for _ in range(n)]
+    xs = share_field_vec(FR, FR.encode(x), seed=71)
+    ys = share_field_vec(FR, FR.encode(y), seed=72)
+
+    def party(i, net):
+        d = Rep3Driver(BN254, net)
+        bx = d.binary.a2b(xs[i])
+        opened_bits = d.binary.open(bx)
+        bits = [int(v) for v in FR.from_limbs(opened_bits)]
+        ge = d.binary.unsigned_ge(xs[i], ys[i])
+        ge_arith = d.binary.bit_inject(ge)
+        ge_open = [int(v) for v in FR.from_limbs(FR.from_mont(d.open_many(ge_arith)))]
+        return bits, ge_open
+
+    results = run_parties(party)
+    want_ge = [int(a >= b) for a, b in zip(x, y)]
+    for bits, ge in results:
+        assert bits == x
+        assert ge == want_ge
