@@ -257,6 +257,28 @@ class Rep3Binary:
         onec = self.f._bcast_const(self.f._int_to_limbs_np(1), bit.a.shape[1:])
         return self.and_public(bit, onec)
 
+    def is_zero(self, x: Rep3BinaryShare) -> Rep3BinaryShare:
+        """binary share -> 1-bit share of (x == 0) via an AND tree over the
+        negated bits (a2b.rs:498)."""
+        f = self.f
+        batch = x.a.shape[1:]
+        maskc = self._maskc(self.bitlen, batch)
+        x = self.xor_public(x, maskc)
+        # public padding bit trick: set bit in BOTH components of EVERY party
+        # (1 ^ 1 ^ 1 == 1)
+        length = self.bitlen
+        while length > 1:
+            if length % 2 == 1:
+                length += 1
+                bitc = f._bcast_const(f._int_to_limbs_np(1 << (length - 1)), batch)
+                x = Rep3BinaryShare(x.a | bitc, x.b | bitc)
+            length //= 2
+            mc = self._maskc(length, batch)
+            y = self.shr(x, length)
+            x = self.and_(self.and_public(x, mc), self.and_public(y, mc))
+        onec = self.f._bcast_const(self.f._int_to_limbs_np(1), batch)
+        return self.and_public(x, onec)
+
     def bit_inject(self, x: Rep3BinaryShare):
         """single-bit binary share -> arithmetic share (a2b.rs:526):
         b0 ^ b1 ^ b2 lifted via two arithmetic XORs (2 mul rounds)."""

@@ -166,6 +166,7 @@ class WitnessExtension:
     # ------------------------------------------------------------ share path
 
     ARITH = {"add", "sub", "mul", "div", "neg", "cmux", "setc", "sett"}
+    COMPARE = {"lt", "le", "gt", "ge", "eq", "neq"}
 
     def run_shared(self, input_share_vec, input_slot_order: list[int]):
         """MPC witness extension over a driver share-vec of main inputs.
@@ -192,13 +193,20 @@ class WitnessExtension:
         for level in c.levels:
             by_op: dict = {}
             for op, dst, ops_ in level:
-                if op not in self.ARITH:
+                if op not in self.ARITH and not (
+                    op in self.COMPARE and hasattr(d, "binary")
+                ):
                     raise NotImplementedError(
-                        f"op {op!r} on secret shares needs the binary-domain "
-                        "(a2b) conversion layer"
+                        f"op {op!r} on secret shares is not supported by the "
+                        f"{d.protocol} driver yet (binary domain required)"
                     )
                 by_op.setdefault(op, []).append((dst, ops_))
             for op, items in by_op.items():
+                # pad each batch to a power of two: level widths vary wildly
+                # and every distinct width is a fresh XLA compile otherwise
+                width = max(1, 1 << (len(items) - 1).bit_length())
+                while len(items) < width:
+                    items = items + [items[-1]]
                 dsts = np.asarray(
                     [oidx(dst) for dst, _ in items], np.int64
                 )
@@ -227,8 +235,40 @@ class WitnessExtension:
                     ys = self._gather_operand(V, [o[2] for _, o in items], oidx)
                     diff = d.sub(xs, ys)
                     res = d.add(d.mul_vec(cs, diff), ys)
+                elif op in self.COMPARE:
+                    xs, ys = self._operands2(V, items, oidx)
+                    res = self._compare(op, xs, ys)
                 V = self._scatter(V, dsts, res)
         return d.slice_share(V, 0, c.n_vars)
+
+    def _compare(self, op, xs, ys):
+        """Secret comparisons via the binary domain with circom's signed
+        semantics: shift by -(p+1)/2 (val()), then unsigned circuits.
+        Parity: rep3/witness_extension_impl.rs:280-340."""
+        d = self.d
+        fr = d.fr
+        p = fr.p
+        shift_c = fr._bcast_const(
+            fr._int_to_limbs_np((p - (p + 1) // 2) * fr.R % p),
+            jax.tree.leaves(xs)[0].shape[1:],
+        )
+        one = d.promote_public(fr.one_mont(jax.tree.leaves(xs)[0].shape[1:]))
+        if op in ("eq", "neq"):
+            bit = d.binary.is_zero(d.binary.a2b(d.sub(xs, ys)))
+            res = d.binary.bit_inject(bit)
+            return res if op == "eq" else d.sub(one, res)
+        va = d.add_public(xs, shift_c)
+        vb = d.add_public(ys, shift_c)
+        if op == "ge":
+            return d.binary.bit_inject(d.binary.unsigned_ge(va, vb))
+        if op == "le":
+            return d.binary.bit_inject(d.binary.unsigned_ge(vb, va))
+        if op == "lt":
+            ge = d.binary.bit_inject(d.binary.unsigned_ge(va, vb))
+            return d.sub(one, ge)
+        # gt = !(le)
+        le = d.binary.bit_inject(d.binary.unsigned_ge(vb, va))
+        return d.sub(one, le)
 
     def _gather_operand(self, V, operands, oidx):
         d = self.d

@@ -48,3 +48,41 @@ def test_a2b_roundtrip_and_compare():
     for bits, ge in results:
         assert bits == x
         assert ge == want_ge
+
+
+def test_rep3_vm_comparisons():
+    """Secret comparisons in the witness VM (signed circom semantics)."""
+    from cocircom_tpu.mpc.driver import PlainDriver
+    from cocircom_tpu.vm.compiler import compile_circom
+    from cocircom_tpu.vm.mpc_vm import WitnessExtension
+
+    src = """
+    pragma circom 2.0.0;
+    template Cmp() {
+        signal input a;
+        signal input b;
+        signal output lt; signal output ge; signal output eq; signal output gt;
+        lt <-- a < b;
+        ge <-- a >= b;
+        eq <-- a == b;
+        gt <-- a > b;
+    }
+    component main = Cmp();
+    """
+    circuit = compile_circom(src, BN254)
+    cases = [(3, 5), (5, 3), (7, 7), (FR.p - 1, 1)]  # p-1 is -1 (signed!)
+    for a, b in cases:
+        host = WitnessExtension(PlainDriver(BN254), circuit).run_host(
+            {"a": a, "b": b}
+        )
+        shares = share_field_vec(FR, FR.encode([a, b]), seed=(a * 7 + b) % (1 << 31))
+
+        def party(i, net):
+            d = Rep3Driver(BN254, net)
+            vm = WitnessExtension(d, circuit)
+            w = vm.run_shared(shares[i], vm.all_input_slots())
+            opened = d.open_many(w)
+            return [int(v) for v in FR.from_limbs(FR.from_mont(opened))]
+
+        results = run_parties(party)
+        assert results[0] == host, (a, b)
