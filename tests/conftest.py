@@ -32,6 +32,25 @@ import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Serialize XLA compilation: concurrent compiles from the 3 MPC party
+# threads can segfault the CPU backend (observed in jax 0.9 with the
+# persistent cache). Execution stays fully parallel.
+try:  # noqa: SIM105
+    import threading as _threading
+
+    import jax._src.compiler as _jc
+
+    _compile_lock = _threading.Lock()
+    _orig_compile = _jc.backend_compile_and_load
+
+    def _locked_compile(*args, **kwargs):
+        with _compile_lock:
+            return _orig_compile(*args, **kwargs)
+
+    _jc.backend_compile_and_load = _locked_compile
+except (ImportError, AttributeError):  # private API moved — tolerate
+    pass
+
 REFERENCE = "/root/reference"
 
 
