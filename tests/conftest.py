@@ -40,14 +40,19 @@ try:  # noqa: SIM105
 
     import jax._src.compiler as _jc
 
-    _compile_lock = _threading.Lock()
-    _orig_compile = _jc.backend_compile_and_load
+    _compile_lock = _threading.RLock()
 
-    def _locked_compile(*args, **kwargs):
-        with _compile_lock:
-            return _orig_compile(*args, **kwargs)
+    def _lockwrap(name):
+        orig = getattr(_jc, name)
 
-    _jc.backend_compile_and_load = _locked_compile
+        def wrapped(*args, **kwargs):
+            with _compile_lock:
+                return orig(*args, **kwargs)
+
+        setattr(_jc, name, wrapped)
+
+    _lockwrap("backend_compile_and_load")
+    _lockwrap("compile_or_get_cached")  # covers cache reads/writes too
 except (ImportError, AttributeError):  # private API moved — tolerate
     pass
 
