@@ -197,8 +197,29 @@ def cmd_generate_witness(args):
     print(f"wrote {args.out}")
 
 
+def _select_device(device: str):
+    """Pick the jax backend before any compute module loads. Default cpu:
+    co-located party processes must not contend for one tunneled TPU chip;
+    production parties set --device tpu (each party owns its slice)."""
+    import jax
+
+    if device == "cpu":
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        jax.config.update("jax_platforms", "cpu")
+    cache = "/root/.cache/cocircom_tpu/xla-" + device
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cocircom-tpu", description=__doc__)
+    ap.add_argument(
+        "--device",
+        default=os.environ.get("COCIRCOM_DEVICE", "cpu"),
+        choices=["cpu", "tpu"],
+        help="compute backend (default cpu; tpu = whatever jax exposes)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("split-witness", help="split a wtns into MPC shares")
@@ -251,6 +272,7 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_generate_witness)
 
     args = ap.parse_args(argv)
+    _select_device(args.device)
     args.fn(args)
 
 
