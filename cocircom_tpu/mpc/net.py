@@ -26,6 +26,48 @@ import jax
 import numpy as np
 
 
+class ComputeGate:
+    """Optional serialization of device compute across in-process party
+    threads: XLA:CPU intermittently segfaults when one thread compiles while
+    others execute (LLVM ORC JIT race, jax 0.9). When enabled, each party
+    thread holds the gate while computing and releases it inside blocking
+    network receives — full correctness, no deadlocks (recv is the only
+    blocking point), at the cost of test-local parallelism."""
+
+    _lock = threading.Lock()
+    _tls = threading.local()
+    enabled = False
+
+    @classmethod
+    def acquire(cls):
+        if not cls.enabled:
+            return
+        cls._lock.acquire()
+        cls._tls.held = True
+
+    @classmethod
+    def release(cls):
+        if getattr(cls._tls, "held", False):
+            cls._tls.held = False
+            cls._lock.release()
+
+    @classmethod
+    def pause(cls):
+        """context manager: release while blocking, reacquire after."""
+
+        class _Pause:
+            def __enter__(self_inner):
+                self_inner.was_held = getattr(cls._tls, "held", False)
+                if self_inner.was_held:
+                    cls.release()
+
+            def __exit__(self_inner, *exc):
+                if self_inner.was_held:
+                    cls.acquire()
+
+        return _Pause()
+
+
 def _to_host(obj):
     """Materialize a pytree onto the host (numpy leaves)."""
     return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), obj)
@@ -115,7 +157,8 @@ class LocalNetwork(Network):
         self._queues[(self.id, to)].put(host_obj)
 
     def recv(self, frm: int) -> Any:
-        obj = self._queues[(frm, self.id)].get(timeout=600)
+        with ComputeGate.pause():
+            obj = self._queues[(frm, self.id)].get(timeout=600)
         self._counters["recv"][self.id] += _nbytes(obj)
         return obj
 
@@ -220,7 +263,8 @@ class TcpNetwork(Network):
         self._socks[to].sendall(frame)
 
     def recv(self, frm: int) -> Any:
-        obj = self._queues[frm].get(timeout=600)
+        with ComputeGate.pause():
+            obj = self._queues[frm].get(timeout=600)
         if isinstance(obj, ConnectionError):
             raise obj
         with self._lock:

@@ -13,17 +13,22 @@ from typing import Callable
 from .net import LocalNetwork
 
 
-def run_parties(fn: Callable, n: int = 3, timeout: float = 600.0) -> list:
+def run_parties(fn: Callable, n: int = 3, timeout: float = 1800.0) -> list:
     """fn(party_id, net) -> result; returns [result_0, ..., result_{n-1}]."""
     nets = LocalNetwork.create(n)
     results = [None] * n
     errors = [None] * n
 
     def work(i):
+        from .net import ComputeGate
+
         try:
+            ComputeGate.acquire()
             results[i] = fn(i, nets[i])
         except BaseException as e:  # noqa: BLE001 — propagate to the caller
             errors[i] = e
+        finally:
+            ComputeGate.release()
 
     threads = [threading.Thread(target=work, args=(i,), daemon=True) for i in range(n)]
     for t in threads:

@@ -9,7 +9,12 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# single-threaded codegen: LLVM ORC JIT races against concurrently executing
+# party threads otherwise (intermittent SIGSEGV in compile)
+if "parallel_codegen" not in flags:
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 # Force the real CPU backend: the axon sitecustomize registers a remote-TPU
 # PJRT plugin at interpreter boot (jax is already imported here), and per-op
 # eager dispatch over that tunnel is ~1000x slower than local CPU. Backends
@@ -21,10 +26,14 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax  # noqa: E402,F401
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: the persistent compilation cache is deliberately DISABLED for tests:
-# reading/writing it from the 3-party threads segfaulted the CPU backend
-# intermittently (jax 0.9; crash inside compile_or_get_cached even when
-# serialized by a lock). bench.py / TPU paths keep their own cache.
+# persistent compilation cache (the intermittent CPU-backend segfaults were
+# traced to concurrent LLVM codegen, fixed by the XLA_FLAGS clamp above and
+# the ComputeGate below — the cache itself is innocent and saves ~20min/run)
+CACHE_DIR = "/root/.cache/cocircom_tpu/xla-cpu"
+os.makedirs(CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import sys  # noqa: E402
 
@@ -55,6 +64,11 @@ except (ImportError, AttributeError):  # private API moved — tolerate
     pass
 
 REFERENCE = "/root/reference"
+
+# serialize device compute across in-process party threads (see ComputeGate)
+from cocircom_tpu.mpc.net import ComputeGate  # noqa: E402
+
+ComputeGate.enabled = True
 
 
 def reference_available() -> bool:
