@@ -26,6 +26,10 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax  # noqa: E402,F401
 
 jax.config.update("jax_platforms", "cpu")
+# synchronous dispatch: XLA:CPU's async execution threads race LLVM codegen
+# (segfault) — with this plus the ComputeGate, device work never overlaps a
+# compile in another thread
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 # persistent compilation cache (the intermittent CPU-backend segfaults were
 # traced to concurrent LLVM codegen, fixed by the XLA_FLAGS clamp above and
 # the ComputeGate below — the cache itself is innocent and saves ~20min/run)

@@ -64,9 +64,6 @@ def test_round_kats_deterministic():
     zk, w, vk, pub = load_case("bn254", "multiplier2")
     d = PlainDriver(curve_by_name("bn254"), seed=1)
     prover = CoPlonk(d, deterministic_blinding=True)
-    trace = {}
-    orig_decode = prover._decode_point
-
     proof = prover.prove(zk, _shared(zk, w))
     assert proof["Z"] == (
         21851995660159341992573113210608672476110709810652234421585224566450425950906,
