@@ -30,14 +30,12 @@ jax.config.update("jax_platforms", "cpu")
 # (segfault) — with this plus the ComputeGate, device work never overlaps a
 # compile in another thread
 jax.config.update("jax_cpu_enable_async_dispatch", False)
-# persistent compilation cache (the intermittent CPU-backend segfaults were
-# traced to concurrent LLVM codegen, fixed by the XLA_FLAGS clamp above and
-# the ComputeGate below — the cache itself is innocent and saves ~20min/run)
-CACHE_DIR = "/root/.cache/cocircom_tpu/xla-cpu"
-os.makedirs(CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The persistent compilation cache stays DISABLED on CPU: this jaxlib's
+# CPU AOT serialize/deserialize roundtrip is broken on this machine — a
+# fresh cache written by one clean run segfaults the next run on read
+# (cpu_aot_loader feature-mismatch entries). The TPU cache (bench path)
+# is unaffected. Compile-vs-execute races are handled by the ComputeGate +
+# synchronous dispatch + the codegen clamp above.
 
 import sys  # noqa: E402
 
