@@ -67,6 +67,10 @@ class Field:
         self.pow_static = jax.jit(self.pow_static, static_argnums=1)
         self.batch_inv = jax.jit(self.batch_inv, static_argnums=1)
         self.sum = jax.jit(self.sum, static_argnums=1)
+        # jitted as one fused program: the eager op-by-op path compiles many
+        # tiny scan programs, one of which reliably crashes LLVM codegen on
+        # this jaxlib (see tests/conftest.py stability notes)
+        self.rand_mont = jax.jit(self.rand_mont, static_argnums=1)
 
     # ------------------------------------------------------------------
     # host conversions
