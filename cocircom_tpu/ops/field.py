@@ -21,6 +21,7 @@ Reference parity: mpc-core's reliance on arkworks ark-ff (SURVEY.md L0).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -252,7 +253,24 @@ class Field:
         return self._cond_sub_p(Sc[L:])
 
     def mont_mul(self, a, b):
+        if self._pallas_ok(a, b):
+            from .pallas_field import mont_mul_pallas
+
+            return mont_mul_pallas(self, a, b)
         return self._mont_reduce(self._mul_wide(a, b))
+
+    def _pallas_ok(self, a, b) -> bool:
+        """Route to the Pallas VMEM kernel on TPU for batches big enough to
+        amortize a pallas_call (trace-time decision; tests pin the CPU
+        backend and keep the pure-XLA path)."""
+        if os.environ.get("COCIRCOM_NO_PALLAS"):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        n = 1
+        for d in jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
+            n *= d
+        return n >= 512
 
     def mont_sqr(self, a):
         return self.mont_mul(a, a)

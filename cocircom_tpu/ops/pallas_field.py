@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: batched Montgomery multiplication, VMEM-resident.
+
+Round-1 profiling (docs/TPU_NOTES.md) showed the XLA lowering of the wide
+pad-row formulation spills the (2L, N) deferred-carry accumulator to HBM
+between fusion passes, capping mont_mul at ~25 M muls/s while the VPU has
+order-of-magnitude headroom. This kernel keeps the entire schoolbook
+product + full-width REDC + conditional subtraction inside one Pallas
+program: operands are (L, T) u32 tiles in VMEM, every intermediate lives in
+vector registers / VMEM scratch, and one tile of results is written back per
+grid step. The limb layout matches cocircom_tpu.ops.field.Field exactly
+(L x 16-bit limbs, limb-axis first), so this is a drop-in replacement for
+Field.mont_mul on the TPU backend.
+
+Algorithm (identical math to Field._mont_reduce, reference parity with
+arkworks MontBackend used by /root/reference/mpc-core — SURVEY.md L0):
+    T  = a * b                      (2L deferred-carry columns, values < 2^21)
+    q  = (T mod R) * (-p^-1) mod R  (low-half product)
+    S  = (T + q*p) / R              (exact division: low L limbs cancel)
+    out = S - p if S >= p else S
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+W = 16
+MASK = np.uint32(0xFFFF)
+
+
+def _carry(cols, n):
+    """Propagate 16-bit carries through the first n deferred columns.
+
+    cols: (C, T) u32 with column values < 2^32 - 2^16 (safe margin).
+    Returns (n, T) canonical limbs. Serial over rows (n <= 2L = tiny), each
+    step a (1, T) vector op.
+    """
+    c = jnp.zeros_like(cols[0:1])
+    outs = []
+    for i in range(n):
+        t = cols[i : i + 1] + c
+        outs.append(t & MASK)
+        c = t >> W
+    return jnp.concatenate(outs, 0)
+
+
+def _mul_cols(a, b_rows, L, ncols):
+    """Schoolbook product into `ncols` deferred-carry columns.
+
+    a: (L, T) u32 canonical limbs. b_rows: either a (L, T) array, or a list
+    of L python ints (constant operand -> scalar-literal multiplies of the
+    whole (L, T) array, keeping full sublane utilization and creating no
+    captured array constants, which Pallas forbids). Column values stay
+    < 2L * 2^16 < 2^21, so carries are deferred to one _carry pass.
+    """
+    T = a.shape[1]
+    acc = jnp.zeros((ncols, T), jnp.uint32)
+    if isinstance(b_rows, (list, tuple)):
+        # iterate over the CONSTANT's limbs: prod_j = b[j] * a is one
+        # scalar-by-(L,T) multiply per nonzero constant limb
+        for j in range(L):
+            bj = int(b_rows[j])
+            if bj == 0:
+                continue
+            prod = a * jnp.uint32(bj)
+            lo = prod & MASK
+            hi = prod >> W
+            wlo = min(L, ncols - j)
+            whi = min(L, ncols - j - 1)
+            if wlo > 0:
+                acc = acc + jnp.pad(lo[:wlo], ((j, ncols - j - wlo), (0, 0)))
+            if whi > 0:
+                acc = acc + jnp.pad(hi[:whi], ((j + 1, ncols - j - 1 - whi), (0, 0)))
+        return acc
+    for i in range(L):
+        prod = a[i : i + 1] * b_rows  # (L, T)
+        lo = prod & MASK
+        hi = prod >> W
+        wlo = min(L, ncols - i)
+        whi = min(L, ncols - i - 1)
+        if wlo > 0:
+            acc = acc + jnp.pad(lo[:wlo], ((i, ncols - i - wlo), (0, 0)))
+        if whi > 0:
+            acc = acc + jnp.pad(hi[:whi], ((i + 1, ncols - i - 1 - whi), (0, 0)))
+    return acc
+
+
+def _cond_sub_p(x, p_limbs, L):
+    """x (L, T) canonical, value < 2p -> x mod p (branchless)."""
+    big = jnp.uint32(1 << W)
+    borrow = jnp.zeros_like(x[0:1])
+    outs = []
+    for i in range(L):
+        t = x[i : i + 1] + big - borrow - jnp.uint32(p_limbs[i])
+        outs.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> W)
+    d = jnp.concatenate(outs, 0)
+    return jnp.where(borrow.astype(bool), x, d)
+
+
+def _make_kernel(L, p_limbs, nprime_limbs):
+    p_limbs = [int(v) for v in p_limbs]
+    nprime_limbs = [int(v) for v in nprime_limbs]
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = a_ref[:]
+        b = b_ref[:]
+        wide = _mul_cols(a, b, L, 2 * L)
+        tc = _carry(wide, 2 * L)
+        q = _carry(_mul_cols(tc[:L], nprime_limbs, L, L), L)
+        s = tc + _mul_cols(q, p_limbs, L, 2 * L)
+        sc = _carry(s, 2 * L)
+        o_ref[:] = _cond_sub_p(sc[L:], p_limbs, L)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call(field, n, tile, interpret):
+    """Compiled pallas_call for (L, n) operands, grid over n//tile tiles."""
+    L = field.L
+    kernel = _make_kernel(L, field.p_limbs, field.nprime_limbs)
+    grid = n // tile
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(grid,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+        if not interpret
+        else None,
+    )
+
+
+MAX_TILE = 2048
+
+
+def mont_mul_pallas(field, a, b, interpret: bool = False):
+    """Drop-in Montgomery multiply: (L, *batch) x (L, *batch) -> (L, *batch)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    L = field.L
+    batch = a.shape[1:]
+    n = 1
+    for d in batch:
+        n *= d
+    a2 = a.reshape(L, n)
+    b2 = b.reshape(L, n)
+    if n >= MAX_TILE:
+        tile = MAX_TILE
+    else:
+        tile = max(128, -(-n // 128) * 128)
+    pad = (-n) % tile
+    if pad:
+        a2 = jnp.pad(a2, ((0, 0), (0, pad)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
+    out = _mont_mul_call(field, n + pad, tile, interpret)(a2, b2)
+    if pad:
+        out = out[:, :n]
+    return out.reshape((L,) + batch)

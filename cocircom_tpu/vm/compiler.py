@@ -89,6 +89,11 @@ class Elaborator:
         self._created = []  # every Component in instantiation order
         self.root_comp = None  # the main component (its signals keep slots)
         self.sig_owner = {}  # uid -> Component
+        # secret-condition branching state (parity: circom-mpc-vm
+        # mpc_vm.rs:104-176 IfCtxStack + :649-754 shared function returns)
+        self.cond_stack = []  # [(outer_acc|None, acc, cond)]
+        self.fn_stack = []  # [{"rets": [(cond, val)], "entry": depth}]
+        self.sig_val = {}  # uid -> last assigned value expr (for cmux merge)
 
     # ------------------------------------------------------- value helpers
 
@@ -190,7 +195,92 @@ class Elaborator:
     def binop(self, op, a, b):
         if isinstance(a, int) and isinstance(b, int):
             return self.const_op2(op, a, b)
+        if op in ("/", "\\", "%") and self._secret():
+            # guarded division under a secret/runtime condition: the untaken
+            # branch still executes, so its denominator is replaced by 1
+            # (parity: mpc_vm.rs:523-531 Div cmux guard)
+            if isinstance(b, int):
+                if b % self.p == 0:
+                    b = 1
+            else:
+                b = self.emit("cmux", [self._acc_cond(), b, 1])
         return self.emit(self.BIN_OPNAME[op], [a, b])
+
+    # ---- secret-condition contexts (mpc_vm.rs IfCtxStack parity) ----
+
+    def _secret(self) -> bool:
+        return bool(self.cond_stack)
+
+    def _acc_cond(self):
+        return self.cond_stack[-1][1]
+
+    def _not(self, c):
+        return self.binop("-", 1, c)
+
+    def _push_cond(self, cond):
+        outer = self.cond_stack[-1][1] if self.cond_stack else None
+        acc = cond if outer is None else self.emit("mul", [outer, cond])
+        self.cond_stack.append((outer, acc, cond))
+
+    def _toggle_cond(self):
+        outer, _, cond = self.cond_stack[-1]
+        notc = self._not(cond)
+        acc = notc if outer is None else self.emit("mul", [outer, notc])
+        self.cond_stack[-1] = (outer, acc, cond)
+
+    def _pop_cond(self):
+        self.cond_stack.pop()
+
+    def _merge_val(self, cond, new, old):
+        """cmux(cond, new, old); recursive over arrays, zero-padded to the
+        longer length (mpc_vm.rs:690-692 resize semantics)."""
+        if isinstance(new, list) or isinstance(old, list):
+            if not isinstance(new, list):
+                new = [new]
+            if not isinstance(old, list):
+                old = [old]
+            n = max(len(new), len(old))
+            new = new + [0] * (n - len(new))
+            old = old + [0] * (n - len(old))
+            return [self._merge_val(cond, x, y) for x, y in zip(new, old)]
+        new = self.resolve(new)
+        old = self.resolve(old)
+        if isinstance(new, int) and isinstance(old, int) and new % self.p == old % self.p:
+            return new % self.p
+        return self.emit("cmux", [cond, new, old])
+
+    def _finish_fn(self, ctx, final_val):
+        """Merge accumulated conditional returns: sum of cond_i * val_i,
+        with the fall-through/unconditional value weighted by the product of
+        negated prior conditions (mpc_vm.rs:784-808)."""
+        rets = list(ctx["rets"])
+        if not rets:
+            return final_val
+        conds = [c for c, _ in rets]
+        vals = [v for _, v in rets]
+        if final_val is not None:
+            fc = None
+            for c in conds:
+                nc = self._not(c)
+                fc = nc if fc is None else self.emit("mul", [fc, nc])
+            conds.append(fc)
+            vals.append(final_val)
+        width = max((len(v) if isinstance(v, list) else 1) for v in vals)
+        is_list = any(isinstance(v, list) for v in vals)
+
+        def elem(v, i):
+            if isinstance(v, list):
+                return v[i] if i < len(v) else 0
+            return v if i == 0 else 0
+
+        out = []
+        for i in range(width):
+            acc = None
+            for c, v in zip(conds, vals):
+                term = self.binop("*", c, elem(v, i))
+                acc = term if acc is None else self.binop("+", acc, term)
+            out.append(acc)
+        return out if is_list else out[0]
 
     def unop(self, op, a):
         if isinstance(a, int):
@@ -219,12 +309,24 @@ class Elaborator:
         return comp
 
     def call_function(self, name: str, args: list):
+        # accelerator intrinsics (parity: accelerator.rs:17-68): circomlib's
+        # Tonelli-Shanks `sqrt` has data-dependent loops, so a symbolic
+        # argument routes to the sqrt op (host: Tonelli-Shanks; MPC: masked
+        # open, rep3.rs:400)
+        if name == "sqrt" and len(args) == 1 and not isinstance(args[0], int):
+            return self.emit("sqrt", [args[0]])
         params, body = self.functions[name]
         env = {pn: av for pn, av in zip(params, args)}
+        ctx = {"rets": [], "entry": len(self.cond_stack)}
+        self.fn_stack.append(ctx)
         try:
             self.exec_stmt(body, env, None)
         except _Return as r:
-            return r.value
+            return self._finish_fn(ctx, r.value)
+        finally:
+            self.fn_stack.pop()
+        if ctx["rets"]:
+            return self._finish_fn(ctx, None)
         raise ValueError(f"function {name} did not return")
 
     # ---- lvalue resolution: returns (container, index) or signal handle ----
@@ -290,9 +392,9 @@ class Elaborator:
         elif tag == "assign":
             _, op, lhs, rhs = st
             val = self.eval(rhs, env, comp)
-            if op in ("+=", "-=", "*="):
+            if op not in ("=", "<==", "<--") and op.endswith("="):
                 cur = self.eval(lhs, env, comp)
-                val = self.binop(op[0], cur, val)
+                val = self.binop(op[:-1], cur, val)
                 op = "="
             self.assign(lhs, op, val, env, comp)
         elif tag == "constraint":
@@ -324,20 +426,35 @@ class Elaborator:
         elif tag == "if":
             _, cond, then, els = st
             c = self.eval(cond, env, comp)
-            if not isinstance(c, int):
-                raise ValueError(
-                    "data-dependent branching on secret values is not yet "
-                    "supported (needs cmux accumulation)"
-                )
-            if c:
+            if isinstance(c, int):
+                if c:
+                    self.exec_stmt(then, env, comp)
+                elif els is not None:
+                    self.exec_stmt(els, env, comp)
+            else:
+                # runtime/secret condition: execute BOTH branches; stores and
+                # returns inside merge via cmux (mpc_vm.rs:471-506)
+                self._push_cond(self.resolve(c))
                 self.exec_stmt(then, env, comp)
-            elif els is not None:
-                self.exec_stmt(els, env, comp)
+                if els is not None:
+                    self._toggle_cond()
+                    self.exec_stmt(els, env, comp)
+                self._pop_cond()
         elif tag == "return":
-            raise _Return(self.eval(st[1], env, comp))
+            val = self.eval(st[1], env, comp)
+            if self.fn_stack and len(self.cond_stack) > self.fn_stack[-1]["entry"]:
+                # conditional return: record (condition, value) and continue
+                # executing — merged at function exit (mpc_vm.rs:649-713)
+                ctx = self.fn_stack[-1]
+                this = self._acc_cond()
+                for pc, _ in ctx["rets"]:
+                    this = self.binop("*", this, self._not(pc))
+                ctx["rets"].append((this, val))
+            else:
+                raise _Return(val)
         elif tag == "assert":
             v = self.eval(st[1], env, comp)
-            if isinstance(v, int) and not v:
+            if not self._secret() and isinstance(v, int) and not v:
                 raise AssertionError("circom assert failed at compile time")
         elif tag == "log":
             pass
@@ -352,7 +469,12 @@ class Elaborator:
         kind = target[0]
         if kind == "var":
             container, key = target[1], target[2]
-            container[key] = val
+            if self._secret():
+                # store under a secret condition -> cmux with the old value
+                # (mpc_vm.rs:312-352 store handling)
+                container[key] = self._merge_val(self._acc_cond(), val, container[key])
+            else:
+                container[key] = val
         elif kind == "signal":
             self.assign_signal(target[1], val, comp, constrained=op != "<--")
         elif kind == "comp_slot":
@@ -414,13 +536,22 @@ class Elaborator:
 
     def assign_signal(self, sig_or_arr, val, comp, constrained: bool = True):
         if isinstance(sig_or_arr, list):
-            if not isinstance(val, list) or len(val) != len(sig_or_arr):
+            if not isinstance(val, list):
                 raise ValueError("array signal assignment shape mismatch")
+            if len(val) != len(sig_or_arr):
+                # merged function returns may be longer (zero-padded union of
+                # branch shapes): truncate/pad to the declared signal shape,
+                # matching the reference's izip over the declared return size
+                # (mpc_vm.rs:789-800)
+                val = val[: len(sig_or_arr)] + [0] * (len(sig_or_arr) - len(val))
             for s, v in zip(sig_or_arr, val):
                 self.assign_signal(s, v, comp, constrained)
             return
         sig = sig_or_arr
         val = self.resolve(val)
+        if self._secret():
+            val = self._merge_val(self._acc_cond(), val, self.sig_val.get(sig.uid, 0))
+        self.sig_val[sig.uid] = val
         is_main = self.sig_owner.get(sig.uid) is self.root_comp
         # circom O2 linear substitution: a non-main signal CONSTRAINED (<==)
         # to a linear (deg<=1) value is eliminated — it becomes a binding.
@@ -482,9 +613,9 @@ class Elaborator:
             c = self.eval(e[1], env, comp)
             if isinstance(c, int):
                 return self.eval(e[2] if c else e[3], env, comp)
-            a = self._sigval(self.eval(e[2], env, comp))
-            b = self._sigval(self.eval(e[3], env, comp))
-            return self.emit("cmux", [self._sigval(c), a, b])
+            a = self.eval(e[2], env, comp)
+            b = self.eval(e[3], env, comp)
+            return self._merge_val(self.resolve(c), a, b)
         if tag == "call":
             name = e[1]
             args = [self.eval(a, env, comp) for a in e[2]]

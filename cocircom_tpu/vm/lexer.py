@@ -17,7 +17,7 @@ TOKEN_RE = re.compile(
   | (?P<num>0x[0-9a-fA-F]+|\d+)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<str>"(?:[^"\\]|\\.)*")
-  | (?P<op><==|==>|<--|-->|===|\+\+|--|\+=|-=|\*=|<=|>=|==|!=|&&|\|\||<<|>>|\*\*|[-+*/\\%&|^~!<>=?:;,.(){}\[\]])
+  | (?P<op><==|==>|<--|-->|===|\+\+|--|\+=|-=|\*\*=|\*=|/=|\\=|%=|<<=|>>=|&=|\|=|\^=|<=|>=|==|!=|&&|\|\||<<|>>|\*\*|[-+*/\\%&|^~!<>=?:;,.(){}\[\]])
     """,
     re.VERBOSE | re.DOTALL,
 )

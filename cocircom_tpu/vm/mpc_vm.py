@@ -23,6 +23,42 @@ def _val(x: int, p: int) -> int:
     return x - p if x > p // 2 else x
 
 
+def tonelli_shanks(n: int, p: int) -> int | None:
+    """Square root mod p (None if non-residue); standard Tonelli-Shanks."""
+    n %= p
+    if n == 0:
+        return 0
+    if pow(n, (p - 1) // 2, p) != 1:
+        return None
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(n, q, p), pow(n, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c = i, b * b % p
+        t = t * c % p
+        r = r * b % p
+    return r
+
+
+def _sqrt_host(a: int, p: int) -> int:
+    """Field sqrt normalized to the root 'closest to zero' (non-negative in
+    circom's signed convention) — parity: plain.rs:454-462 vm_sqrt."""
+    r = tonelli_shanks(a, p)
+    if r is None:
+        raise ValueError(f"sqrt of non-residue {a}")
+    return p - r if r > p // 2 else r
+
+
 def _host_op(op: str, args: list[int], p: int) -> int:
     a = args[0] if args else 0
     b = args[1] if len(args) > 1 else 0
@@ -76,6 +112,8 @@ def _host_op(op: str, args: list[int], p: int) -> int:
         return (a >> b) if b < 256 else 0
     if op == "cmux":
         return args[1] if args[0] else args[2]
+    if op == "sqrt":
+        return _sqrt_host(a, p)
     raise ValueError(f"unknown op {op}")
 
 

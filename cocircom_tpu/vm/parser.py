@@ -242,7 +242,9 @@ class Parser:
             return ("decl_var", name, dims, init)
         lhs = self.expr()
         t = self.peek().val
-        if t in ("=", "<==", "<--", "+=", "-=", "*="):
+        if t in ("=", "<==", "<--") or (
+            t.endswith("=") and t[:-1] in ("+", "-", "*", "/", "\\", "%", "**", "<<", ">>", "&", "|", "^")
+        ):
             self.next()
             rhs = self.expr()
             return ("assign", t, lhs, rhs)

@@ -1,0 +1,44 @@
+"""Pallas mont_mul kernel conformance (interpreter mode on CPU).
+
+The TPU backend routes Field.mont_mul through ops/pallas_field.py; these
+tests pin the kernel's math against the pure-XLA path (itself pinned against
+the host bigint model in test_field.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cocircom_tpu.fields.params import BLS12_381, BN254
+from cocircom_tpu.ops.field import get_field
+from cocircom_tpu.ops.pallas_field import mont_mul_pallas
+
+
+@pytest.mark.parametrize(
+    "p,name",
+    [
+        (BN254.fr.p, "bn254.fr"),
+        (BN254.fq.p, "bn254.fq"),
+        (BLS12_381.fq.p, "bls12_381.fq"),
+    ],
+)
+def test_pallas_mont_mul_matches_xla(p, name):
+    f = get_field(p, name)
+    rng = np.random.default_rng(42)
+    vals_a = [int.from_bytes(rng.bytes(48), "little") % p for _ in range(333)]
+    vals_b = [int.from_bytes(rng.bytes(48), "little") % p for _ in range(333)]
+    a = jnp.asarray(f.to_limbs(vals_a))
+    b = jnp.asarray(f.to_limbs(vals_b))
+    ref = f.mont_mul(a, b)
+    got = mont_mul_pallas(f, a, b, interpret=True)
+    assert bool(jnp.all(ref == got))
+
+
+def test_pallas_mont_mul_edge_and_broadcast():
+    f = get_field(BN254.fr.p, "bn254.fr")
+    e = jnp.asarray(f.to_limbs([f.p - 1, 0, 1, 2, f.p - 2, f.p - 1] * 3))
+    assert bool(jnp.all(f.mont_mul(e, e) == mont_mul_pallas(f, e, e, interpret=True)))
+    a3 = jnp.asarray(f.to_limbs(list(range(1, 61)))).reshape(f.L, 3, 20)
+    b1 = a3[:, :1, :1]
+    assert bool(
+        jnp.all(f.mont_mul(a3, b1) == mont_mul_pallas(f, a3, b1, interpret=True))
+    )
