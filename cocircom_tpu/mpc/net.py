@@ -15,15 +15,18 @@ connection (parity: mpc-net/src/lib.rs:174-194).
 
 from __future__ import annotations
 
-import pickle
 import queue
 import socket
+import ssl
 import struct
 import threading
 from typing import Any
 
 import jax
 import numpy as np
+
+from .codec import decode as _decode
+from .codec import encode as _encode
 
 
 class ComputeGate:
@@ -69,8 +72,15 @@ class ComputeGate:
 
 
 def _to_host(obj):
-    """Materialize a pytree onto the host (numpy leaves)."""
-    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), obj)
+    """Materialize a pytree onto the host (numpy leaves); wire-native
+    primitives (bytes/str/int/None) pass through untouched."""
+
+    def leaf(x):
+        if x is None or isinstance(x, (bytes, bytearray, str, int)):
+            return x
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree.map(leaf, obj, is_leaf=lambda x: x is None or isinstance(x, (bytes, bytearray, str)))
 
 
 def _nbytes(obj) -> int:
@@ -170,16 +180,31 @@ class LocalNetwork(Network):
 
 
 class TcpNetwork(Network):
-    """Full-mesh TCP with 4-byte length-delimited pickle frames.
+    """Full-mesh TCP with 4-byte length-delimited frames and a fixed-schema
+    codec (mpc/codec.py — no pickle; decoding a malicious peer's bytes can
+    only yield plain data).
 
     Connection setup mirrors mpc-net (lib.rs:45-171): party i accepts from
     parties j > i and connects to parties j < i; ids are exchanged on
-    connect. Each pair gets one socket; reads run on a background thread per
-    peer feeding per-peer queues (channel.rs:135-236 reader/writer tasks)."""
+    connect and VERIFIED against the expected direction (a connecting
+    socket cannot claim an id that should have dialed us). Each pair gets
+    one socket; reads run on a background thread per peer feeding per-peer
+    queues (channel.rs:135-236 reader/writer tasks).
+
+    Mutual TLS (the reference's rustls/QUIC posture, mpc-net/src/lib.rs:47-78):
+    pass ``tls=TlsConfig(...)`` — every connection then requires the exact
+    pinned peer certificate (self-signed, generated by the `gen-cert`
+    subcommand, parity mpc-net/src/bin/gen_cert.rs)."""
 
     MAX_FRAME = 1 << 30
 
-    def __init__(self, pid: int, addresses: list[tuple[str, int]], timeout: float = 60.0):
+    def __init__(
+        self,
+        pid: int,
+        addresses: list[tuple[str, int]],
+        timeout: float = 60.0,
+        tls: "TlsConfig | None" = None,
+    ):
         self.id = pid
         self.n_parties = len(addresses)
         self._socks: dict[int, socket.socket] = {}
@@ -187,6 +212,7 @@ class TcpNetwork(Network):
         self._sent = 0
         self._recvd = 0
         self._lock = threading.Lock()
+        self._tls = tls
         self._connect_mesh(addresses, timeout)
         self._readers = []
         for peer, s in self._socks.items():
@@ -195,6 +221,18 @@ class TcpNetwork(Network):
             t = threading.Thread(target=self._reader, args=(s, q), daemon=True)
             t.start()
             self._readers.append(t)
+
+    def _wrap_tls(self, sock, server_side: bool, peer_hint: int | None):
+        """Wrap a mesh socket in mutual TLS pinned to the party certs."""
+        ctx = ssl.SSLContext(
+            ssl.PROTOCOL_TLS_SERVER if server_side else ssl.PROTOCOL_TLS_CLIENT
+        )
+        ctx.load_cert_chain(self._tls.cert_path, self._tls.key_path)
+        ctx.verify_mode = ssl.CERT_REQUIRED
+        ctx.check_hostname = False  # pinned self-signed certs, not PKI names
+        for path in self._tls.peer_cert_paths:
+            ctx.load_verify_locations(path)
+        return ctx.wrap_socket(sock, server_side=server_side)
 
     def _connect_mesh(self, addresses, timeout):
         host, port = addresses[self.id]
@@ -208,10 +246,18 @@ class TcpNetwork(Network):
         to_connect = [j for j in range(self.n_parties) if j < self.id]
 
         def accept_all():
-            for _ in expected_in:
+            pending = set(expected_in)
+            while pending:
                 conn, _ = srv.accept()
                 conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+                if self._tls:
+                    conn = self._wrap_tls(conn, True, None)
                 peer = struct.unpack("<I", self._recv_exact(conn, 4))[0]
+                if peer not in pending:
+                    # wrong direction or duplicate claim — refuse
+                    conn.close()
+                    continue
+                pending.discard(peer)
                 self._socks[peer] = conn
 
         acc = threading.Thread(target=accept_all)
@@ -229,10 +275,16 @@ class TcpNetwork(Network):
                         raise
                     time.sleep(0.05)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            if self._tls:
+                s = self._wrap_tls(s, False, j)
             s.sendall(struct.pack("<I", self.id))
             self._socks[j] = s
         acc.join(timeout)
         srv.close()
+        if len(self._socks) != self.n_parties - 1:
+            raise ConnectionError(
+                f"mesh incomplete: {sorted(self._socks)} of {self.n_parties - 1} peers"
+            )
 
     @staticmethod
     def _recv_exact(sock, n):
@@ -251,12 +303,14 @@ class TcpNetwork(Network):
                 (ln,) = struct.unpack("<I", hdr)
                 if ln > self.MAX_FRAME:
                     raise ValueError("frame too large")
-                q.put(pickle.loads(self._recv_exact(sock, ln)))
+                q.put(_decode(self._recv_exact(sock, ln)))
         except (ConnectionError, OSError):
             q.put(ConnectionError("peer closed"))
+        except ValueError as e:  # malformed frame from a bad peer
+            q.put(ConnectionError(f"bad frame: {e}"))
 
     def send(self, to: int, obj: Any) -> None:
-        payload = pickle.dumps(_to_host(obj), protocol=pickle.HIGHEST_PROTOCOL)
+        payload = _encode(_to_host(obj))
         frame = struct.pack("<I", len(payload)) + payload
         with self._lock:
             self._sent += len(frame)
@@ -274,9 +328,83 @@ class TcpNetwork(Network):
     def stats(self):
         return {"sent_bytes": self._sent, "recv_bytes": self._recvd}
 
-    def close(self):
+    def close(self, linger: float = 10.0):
+        """Graceful teardown: half-close (FIN) every connection, then give
+        reader threads up to `linger` seconds to drain peers' in-flight
+        frames and observe their FIN — so a party that finishes a protocol
+        first cannot yank data out from under slower peers."""
+        for s in self._socks.values():
+            try:
+                if isinstance(s, ssl.SSLSocket):
+                    s.close()  # SSL needs close_notify, not half-close
+                else:
+                    s.shutdown(socket.SHUT_WR)
+            except OSError:
+                pass
+        for t in self._readers:
+            t.join(timeout=linger)
         for s in self._socks.values():
             try:
                 s.close()
             except OSError:
                 pass
+
+
+class TlsConfig:
+    """Mutual-TLS material for one party: own key/cert + every peer's
+    pinned certificate (parity: NetworkConfig key_path/cert_path,
+    mpc-net/src/config.rs:64-98)."""
+
+    def __init__(self, key_path: str, cert_path: str, peer_cert_paths: list[str]):
+        self.key_path = key_path
+        self.cert_path = cert_path
+        self.peer_cert_paths = list(peer_cert_paths)
+
+
+def gen_self_signed_cert(key_out: str, cert_out: str, dns_name: str = "localhost",
+                         days: int = 365) -> None:
+    """Write a fresh self-signed certificate + private key (PEM).
+    Parity: mpc-net/src/bin/gen_cert.rs:21-31 (rcgen self-signed certs)."""
+    import datetime
+    import secrets
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    key = ec.generate_private_key(ec.SECP256R1())
+    # unique subject DN per cert: OpenSSL looks trust-store roots up by
+    # subject name, and several distinct self-signed party certs sharing
+    # one CN collide (the mesh loads all peers into one store)
+    name = x509.Name(
+        [
+            x509.NameAttribute(
+                NameOID.COMMON_NAME, f"{dns_name}-{secrets.token_hex(8)}"
+            )
+        ]
+    )
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=days))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName(dns_name)]), critical=False
+        )
+        .sign(key, hashes.SHA256())
+    )
+    with open(key_out, "wb") as fh:
+        fh.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption(),
+            )
+        )
+    with open(cert_out, "wb") as fh:
+        fh.write(cert.public_bytes(serialization.Encoding.PEM))

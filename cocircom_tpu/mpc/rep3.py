@@ -16,7 +16,6 @@ every op is jit/vmap-friendly and batches whole vectors into ONE round
 
 from __future__ import annotations
 
-import secrets
 from typing import Any, NamedTuple
 
 import jax
@@ -26,6 +25,7 @@ import numpy as np
 from ..fields.params import CurveParams
 from ..ops.curve import CurveOps, ProjPoint
 from ..ops.field import Field
+from ..utils.chacha import ChaChaStream, fresh_seed
 from .driver import Driver, segment_sum_mont
 from .net import Network
 
@@ -41,37 +41,56 @@ class Rep3PointShare(NamedTuple):
 
 
 class Rep3Rngs:
-    """Correlated PRF streams; (key1=own seed, key2=prev party's seed)."""
+    """Correlated ChaCha12 streams keyed with the exchanged 256-bit seeds
+    (rngs.rs:25-113 parity; full-entropy replacement for the round-1 32-bit
+    jax.random keys).
 
-    def __init__(self, seed_self: int, seed_prev: int):
-        self.key1 = jax.random.key(seed_self & 0xFFFFFFFF)
-        self.key2 = jax.random.key(seed_prev & 0xFFFFFFFF)
-        self.ctr = 0
+    Domains (counter-mode nonce word) separate independent sub-streams of
+    the same pairwise seed, which replaces the reference's extra bitcomp
+    seed derivation with zero additional communication:
+      0: main rand (masking / random shares)   — rngs.rs Rep3Rand
+      1: bitcomp (b2a correlated field elems)  — rngs.rs Rep3RandBitComp
+      2: binary masks (XOR zero-sharings)
+    """
 
-    def _next(self):
-        k1 = jax.random.fold_in(self.key1, self.ctr)
-        k2 = jax.random.fold_in(self.key2, self.ctr)
-        self.ctr += 1
-        return k1, k2
+    def __init__(self, seed_self: bytes | int, seed_prev: bytes | int):
+        self.rng1 = ChaChaStream(seed_self, domain=0)
+        self.rng2 = ChaChaStream(seed_prev, domain=0)
+        self.bit1 = ChaChaStream(seed_self, domain=1)
+        self.bit2 = ChaChaStream(seed_prev, domain=1)
+        self.bin1 = ChaChaStream(seed_self, domain=2)
+        self.bin2 = ChaChaStream(seed_prev, domain=2)
 
     def random_fes(self, f: Field, shape=()):
         """(r_self, r_prev) — a valid random share pair."""
-        k1, k2 = self._next()
-        return f.rand_mont(k1, shape), f.rand_mont(k2, shape)
+        return self.rng1.rand_mont(f, shape), self.rng2.rand_mont(f, shape)
 
     def masking_field(self, f: Field, shape=()):
         """r_self - r_prev: sums to zero over the 3 parties."""
         a, b = self.random_fes(f, shape)
         return f.sub(a, b)
 
+    def binary_mask(self, f: Field, nbits: int, shape=()):
+        """r_self ^ r_prev over nbits: XORs to zero over the 3 parties."""
+        L = f.L
+        top_bits = nbits - 16 * (L - 1)
+        top = (1 << top_bits) - 1 if top_bits > 0 else 0
+        r1 = self.bin1.limbs16((L,) + tuple(shape))
+        r2 = self.bin2.limbs16((L,) + tuple(shape))
+        r1 = r1.at[L - 1].set(r1[L - 1] & top)
+        r2 = r2.at[L - 1].set(r2[L - 1] & top)
+        return r1 ^ r2
 
-def share_field_vec(f: Field, vec_mont, seed: int | None = None):
-    """Dealer-side: split (L, N) Montgomery values into 3 REP3 shares."""
-    key = jax.random.key(secrets.randbits(32) if seed is None else seed)
-    k0, k1 = jax.random.split(key)
+
+def share_field_vec(f: Field, vec_mont, seed: bytes | int | None = None):
+    """Dealer-side: split (L, N) Montgomery values into 3 REP3 shares.
+
+    Mask entropy is a 256-bit ChaCha key (fresh OS entropy unless a test
+    passes an explicit seed, which is SHA-256-expanded)."""
+    stream = ChaChaStream(fresh_seed() if seed is None else seed, domain=0)
     batch = vec_mont.shape[1:]
-    x0 = f.rand_mont(k0, batch)
-    x1 = f.rand_mont(k1, batch)
+    x0 = stream.rand_mont(f, batch)
+    x1 = stream.rand_mont(f, batch)
     x2 = f.sub(f.sub(vec_mont, x0), x1)
     return [
         Rep3FieldShare(x0, x2),
@@ -91,10 +110,13 @@ class Rep3Driver(Driver):
         super().__init__(curve)
         self.net = net
         self.id = net.id
-        # PRF setup: 2 seed-exchange messages (rep3.rs:343-351)
-        seed_self = secrets.randbits(32)
-        net.send_next(np.uint64(seed_self))
-        seed_prev = int(net.recv_prev())
+        # PRF setup: exchange 256-bit seeds with the next party
+        # (rep3.rs:343-351, SEED_SIZE = 32 bytes)
+        seed_self = fresh_seed()
+        net.send_next(seed_self)
+        seed_prev = bytes(net.recv_prev())
+        if len(seed_prev) != 32:
+            raise ValueError("PRF setup: peer seed must be 32 bytes")
         self.rngs = Rep3Rngs(seed_self, seed_prev)
 
     @property
@@ -175,6 +197,34 @@ class Rep3Driver(Driver):
         t_prev = jnp.asarray(self.net.recv_prev())
         t_next = jnp.asarray(self.net.recv_next())
         return f.add(f.add(local, t_prev), t_next)
+
+    def sqrt_many(self, x: Rep3FieldShare):
+        """Masked-open square root (rep3.rs:400-447): open r^2*x and
+        r_squ*r_inv in ONE round, take the public sqrt, unmask with
+        r_inv * (r_squ*r_inv)^-1. Returns SOME root; sign correction is the
+        caller's job (the opened values leak nothing: r^2*x is uniform over
+        squares)."""
+        from ..vm.mpc_vm import tonelli_shanks
+
+        f = self.fr
+        n = x.a.shape[1]
+        r_squ = self.rand((n,))
+        r_inv = self.rand((n,))
+        rr = self.mul_vec(r_squ, r_squ)
+        lhs = self.concat(rr, r_squ)
+        rhs = self.concat(x, r_inv)
+        opened = self.mul_open_many(lhs, rhs)
+        y_sq_pub = f.from_limbs(f.from_mont(opened[:, :n]))
+        roots = []
+        for v in y_sq_pub:
+            r = tonelli_shanks(int(v), f.p)
+            if r is None:
+                raise ValueError("MPC sqrt: value is a non-residue")
+            roots.append(r)
+        y_sq = f.encode(roots)
+        y_inv = f.batch_inv(opened[:, n:])
+        r_squ_inv = self.mul_public(r_inv, y_inv)
+        return self.mul_public(r_squ_inv, y_sq)
 
     def inv_many(self, x: Rep3FieldShare):
         """Masked-open inversion (rep3.rs:530-542): 2 rounds."""

@@ -61,6 +61,124 @@ def test_tcp_rep3_mul():
     assert results[0] == want == results[1] == results[2]
 
 
+def test_codec_roundtrip():
+    """Wire codec: every MPC payload shape survives; hostile shapes refuse."""
+    import numpy as np
+
+    from cocircom_tpu.mpc.codec import decode, encode
+
+    cases = [
+        None,
+        0,
+        -1,
+        1 << 300,  # big ints
+        b"\x00\x01seed",
+        "name",
+        np.arange(12, dtype=np.uint32).reshape(3, 4),
+        np.uint64(7),
+        (np.ones((2, 2), np.uint32), [np.zeros(3, np.int64), b"x"]),
+        {"a": (1, 2), "b": None},
+    ]
+    for c in cases:
+        out = decode(encode(c))
+        if isinstance(c, np.generic):
+            assert out == c
+        elif isinstance(c, np.ndarray):
+            assert (out == c).all() and out.dtype == c.dtype
+        elif isinstance(c, tuple):
+            assert isinstance(out, tuple)
+        else:
+            assert out == c
+
+    with pytest.raises(TypeError):
+        encode(object())
+    with pytest.raises(TypeError):
+        encode(np.array([object()]))  # object dtype refused
+    with pytest.raises(ValueError):
+        decode(b"\xff")  # unknown tag
+    with pytest.raises(ValueError):
+        decode(encode(5) + b"junk")  # trailing bytes
+
+
+def test_tcp_rep3_mul_tls(tmp_path):
+    """Same 3-party mul over a mutually-authenticated TLS mesh, plus a
+    negative check: a connection without the pinned cert is refused."""
+    import ssl
+
+    from cocircom_tpu.mpc.net import TlsConfig, gen_self_signed_cert
+
+    certs = []
+    for i in range(3):
+        k, c = str(tmp_path / f"k{i}.pem"), str(tmp_path / f"c{i}.pem")
+        gen_self_signed_cert(k, c)
+        certs.append((k, c))
+
+    ports = free_ports(3)
+    addrs = [("127.0.0.1", p) for p in ports]
+    x, y = [3, 5], [7, 11]
+    xs = share_field_vec(FR, FR.encode(x), seed=41)
+    ys = share_field_vec(FR, FR.encode(y), seed=42)
+    results = [None] * 3
+    errors = [None] * 3
+
+    def party(i):
+        try:
+            tls = TlsConfig(
+                certs[i][0], certs[i][1],
+                [c for j, (k, c) in enumerate(certs) if j != i],
+            )
+            net = TcpNetwork(i, addrs, tls=tls)
+            d = Rep3Driver(BN254, net)
+            opened = d.open_many(d.mul_vec(xs[i], ys[i]))
+            results[i] = [int(v) for v in FR.from_limbs(FR.from_mont(opened))]
+            net.close()
+        except BaseException as e:  # noqa: BLE001
+            errors[i] = e
+
+    threads = [threading.Thread(target=party, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    for e in errors:
+        assert e is None, e
+    assert results[0] == [a * b % FR.p for a, b in zip(x, y)]
+    assert results[0] == results[1] == results[2]
+
+    # an interloper with the WRONG cert cannot join party 0's mesh
+    kx, cx = str(tmp_path / "kx.pem"), str(tmp_path / "cx.pem")
+    gen_self_signed_cert(kx, cx)
+    port = free_ports(1)[0]
+    holder = {}
+
+    def victim():
+        try:
+            tls = TlsConfig(certs[0][0], certs[0][1], [certs[1][1]])
+            holder["net"] = TcpNetwork(
+                0, [("127.0.0.1", port), ("127.0.0.1", port + 1)],
+                timeout=5, tls=tls,
+            )
+        except BaseException as e:  # noqa: BLE001
+            holder["err"] = e
+
+    t = threading.Thread(target=victim)
+    t.start()
+    import time
+
+    time.sleep(0.3)
+    attacker_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    attacker_ctx.load_cert_chain(cx, kx)
+    attacker_ctx.check_hostname = False
+    attacker_ctx.verify_mode = ssl.CERT_NONE
+    with pytest.raises(ssl.SSLError):
+        raw = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s = attacker_ctx.wrap_socket(raw)
+        s.send(b"\x01\x00\x00\x00")
+        s.recv(1)
+    t.join(10)
+    assert "net" not in holder  # victim never completed a mesh with the attacker
+
+
 def test_cli_split_prove_verify(tmp_path):
     """CLI pipeline: split-witness -> (plain) generate-proof -> verify."""
     import subprocess
