@@ -21,11 +21,28 @@ import sys
 
 
 def _load_net(path: str):
+    """Net config JSON: {"my_id": k, "key_path"?: ..., "parties":
+    [{"id", "host", "port", "cert_path"?}, ...]}. When key_path and every
+    party's cert_path are present the mesh runs mutual TLS (parity:
+    mpc-net/src/config.rs:52-98). Returns (my_id, addrs, TlsConfig|None)."""
     cfg = json.load(open(path))
-    addrs = [None] * len(cfg["parties"])
+    n = len(cfg["parties"])
+    my_id = int(cfg["my_id"])
+    addrs = [None] * n
+    certs = [None] * n
     for p in cfg["parties"]:
         addrs[int(p["id"])] = (p.get("host", "127.0.0.1"), int(p["port"]))
-    return int(cfg["my_id"]), addrs
+        certs[int(p["id"])] = p.get("cert_path")
+    tls = None
+    if cfg.get("key_path") and all(certs):
+        from .mpc.net import TlsConfig
+
+        tls = TlsConfig(
+            cfg["key_path"],
+            certs[my_id],
+            [c for i, c in enumerate(certs) if i != my_id],
+        )
+    return my_id, addrs, tls
 
 
 def _driver(protocol: str, curve, net_config: str | None, threshold: int = 1):
@@ -33,10 +50,10 @@ def _driver(protocol: str, curve, net_config: str | None, threshold: int = 1):
 
     if protocol == "plain":
         return PlainDriver(curve)
-    my_id, addrs = _load_net(net_config)
+    my_id, addrs, tls = _load_net(net_config)
     from .mpc.net import TcpNetwork
 
-    net = TcpNetwork(my_id, addrs)
+    net = TcpNetwork(my_id, addrs, tls=tls)
     if protocol == "rep3":
         from .mpc.rep3 import Rep3Driver
 
@@ -143,10 +160,10 @@ def cmd_translate_witness(args):
     protocol, curve, shared = shared_witness_to_split(open(args.witness, "rb").read())
     if protocol != "rep3":
         raise SystemExit("translate-witness expects a rep3 share as input")
-    my_id, addrs = _load_net(args.net_config)
+    my_id, addrs, tls = _load_net(args.net_config)
     from .mpc.net import TcpNetwork
 
-    net = TcpNetwork(my_id, addrs)
+    net = TcpNetwork(my_id, addrs, tls=tls)
     new_share = translate_rep3_to_shamir(curve, net, shared.witness)
     out_shared = SharedWitness(shared.public_inputs, new_share)
     with open(args.out, "wb") as fh:
@@ -154,46 +171,98 @@ def cmd_translate_witness(args):
     print(f"wrote {args.out}")
 
 
-def cmd_merge_input_shares(args):
-    from .io.shares_io import read_shared_witness, write_shared_witness
-    import numpy as np
+def cmd_gen_cert(args):
+    from .mpc.net import gen_self_signed_cert
 
-    headers = []
-    merged: dict = {}
-    publics = None
-    proto = curve = None
+    gen_self_signed_cert(args.key_out, args.cert_out, args.dns_name)
+    print(f"wrote {args.key_out} and {args.cert_out}")
+
+
+def cmd_split_input(args):
+    """Split an input.json into per-party SharedInput files: public signals
+    (the circuit's {public [...]} list) replicated in-clear, private signals
+    secret-shared. Parity: bin/co-circom.rs run_split_input (:255-335)."""
+    from .fields.params import curve_by_name
+    from .io.shares_io import write_shared_input
+    from .snark.shared import split_input_rep3
+    from .vm.compiler import compile_circom
+
+    if args.protocol != "rep3":
+        raise SystemExit("only REP3 is supported for splitting inputs")
+    curve = curve_by_name(args.curve)
+    parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
+    inputs = json.loads(open(args.input).read())
+    shares = split_input_rep3(curve, inputs, set(parsed.public_names))
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.basename(args.input)
+    for i, s in enumerate(shares):
+        path = os.path.join(args.out_dir, f"{base}.{i}.shared")
+        with open(path, "wb") as fh:
+            fh.write(write_shared_input("rep3", curve.name, s))
+        print(f"wrote {path}")
+
+
+def cmd_merge_input_shares(args):
+    """Union SharedInput files from independent input providers.
+    Parity: bin/co-circom.rs run_merge_input_shares (:338-368)."""
+    from .io.shares_io import read_shared_input, write_shared_input
+    from .snark.shared import merge_inputs
+
+    if len(args.inputs) < 2:
+        raise SystemExit("need at least two input shares to merge")
+    merged = proto = curve = None
     for path in args.inputs:
-        protocol, curve_name, pubs, arrays = read_shared_witness(open(path, "rb").read())
-        proto, curve = protocol, curve_name
-        if publics is None:
-            publics = pubs
-        elif publics != pubs:
-            raise SystemExit("public inputs differ between shares")
-        for k, v in arrays.items():
-            if k in merged:
-                raise SystemExit(f"duplicate share component {k}")
-            merged[k] = v
-    out = write_shared_witness(proto, curve, publics, merged)
+        protocol, c, si = read_shared_input(open(path, "rb").read())
+        if merged is None:
+            merged, proto, curve = si, protocol, c
+        else:
+            if protocol != proto or c.name != curve.name:
+                raise SystemExit("protocol/curve mismatch between input shares")
+            merged = merge_inputs(merged, si)
     with open(args.out, "wb") as fh:
-        fh.write(out)
+        fh.write(write_shared_input(proto, curve.name, merged))
     print(f"wrote {args.out}")
 
 
 def cmd_generate_witness(args):
+    """MPC witness extension. plain: input.json -> .wtns on the host path.
+    rep3: a .shared SharedInput file -> run_shared_input through the
+    networked driver -> .shared witness (no cleartext witness ever exists).
+    Parity: bin/co-circom.rs run_generate_witness (:369-404) +
+    co_circom::generate_witness_rep3 (lib.rs:504)."""
     from .fields.params import curve_by_name
     from .vm.compiler import compile_circom
     from .vm.mpc_vm import WitnessExtension
 
-    curve = curve_by_name(args.curve)
-    parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
-    inputs = json.loads(open(args.input).read())
-    d = _driver(args.protocol, curve, args.net_config, args.threshold)
-    vm = WitnessExtension(d, parsed)
-    witness = vm.run_plain_inputs(inputs)
-    from .io.witness import write_wtns
+    if args.protocol == "plain":
+        curve = curve_by_name(args.curve)
+        parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
+        inputs = json.loads(open(args.input).read())
+        d = _driver("plain", curve, None)
+        vm = WitnessExtension(d, parsed)
+        witness = vm.run_plain_inputs(inputs)
+        from .io.witness import write_wtns
 
+        with open(args.out, "wb") as fh:
+            fh.write(write_wtns(curve, witness))
+        print(f"wrote {args.out}")
+        return
+    if args.protocol != "rep3":
+        raise SystemExit(
+            "generate-witness supports plain and rep3 (translate a rep3 "
+            "witness to shamir with translate-witness, bin/co-circom.rs:85)"
+        )
+    from .io.shares_io import read_shared_input, shared_witness_from_split
+
+    protocol, curve, si = read_shared_input(open(args.input, "rb").read())
+    if protocol != "rep3":
+        raise SystemExit(f"input share file is {protocol}, expected rep3")
+    parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
+    d = _driver("rep3", curve, args.net_config)
+    vm = WitnessExtension(d, parsed)
+    sw = vm.run_shared_input(si)
     with open(args.out, "wb") as fh:
-        fh.write(write_wtns(curve, witness))
+        fh.write(shared_witness_from_split("rep3", curve, sw))
     print(f"wrote {args.out}")
 
 
@@ -206,6 +275,10 @@ def _select_device(device: str):
     if device == "cpu":
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         jax.config.update("jax_platforms", "cpu")
+        # NO persistent cache on CPU: this jaxlib's CPU AOT cache roundtrip
+        # is broken (cpu_aot_loader feature mismatch -> SIGILL/segfault on
+        # read, docs/TPU_NOTES.md "CPU-backend stability").
+        return
     cache = "/root/.cache/cocircom_tpu/xla-" + device
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -255,6 +328,21 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_translate_witness)
 
+    sp = sub.add_parser("gen-cert", help="generate a self-signed TLS cert+key")
+    sp.add_argument("--key-out", required=True)
+    sp.add_argument("--cert-out", required=True)
+    sp.add_argument("--dns-name", default="localhost")
+    sp.set_defaults(fn=cmd_gen_cert)
+
+    sp = sub.add_parser("split-input", help="split input.json into MPC shares")
+    sp.add_argument("--input", required=True, help="input.json")
+    sp.add_argument("--circuit", required=True, help=".circom source")
+    sp.add_argument("--curve", default="bn254")
+    sp.add_argument("--link", action="append", help="circom library search dir")
+    sp.add_argument("--protocol", default="rep3", choices=["rep3"])
+    sp.add_argument("--out-dir", required=True)
+    sp.set_defaults(fn=cmd_split_input)
+
     sp = sub.add_parser("merge-input-shares", help="merge .shared input files")
     sp.add_argument("inputs", nargs="+")
     sp.add_argument("--out", required=True)
@@ -262,7 +350,11 @@ def main(argv=None):
 
     sp = sub.add_parser("generate-witness", help="MPC witness extension")
     sp.add_argument("--circuit", required=True, help=".circom source")
-    sp.add_argument("--input", required=True, help="input.json")
+    sp.add_argument(
+        "--input",
+        required=True,
+        help="input.json (plain) or a .shared SharedInput file (rep3)",
+    )
     sp.add_argument("--curve", default="bn254")
     sp.add_argument("--link", action="append", help="circom library search dir")
     sp.add_argument("--protocol", default="plain", choices=["plain", "rep3", "shamir"])

@@ -52,6 +52,60 @@ def read_shared_witness(data: bytes):
     return header["protocol"], header["curve"], publics, arrays
 
 
+def write_shared_input(protocol: str, curve_name: str, si) -> bytes:
+    """SharedInput -> bytes. Share components are stored per signal name as
+    raw limb arrays (rep3: a.<name>/b.<name>; shamir/plain: w.<name>) —
+    a fixed-schema, non-executable codec (no pickle).
+
+    Parity: the bincode SharedInput files of bin/co-circom.rs:327-332."""
+    import jax
+
+    header = {
+        "magic": "cocircom-tpu-shared-input",
+        "protocol": protocol,
+        "curve": curve_name,
+        "public_inputs": {
+            k: [str(int(x)) for x in v] for k, v in si.public_inputs.items()
+        },
+    }
+    arrays = {}
+    for name, share in si.shared_inputs.items():
+        if protocol == "rep3":
+            arrays[f"a.{name}"] = np.asarray(jax.device_get(share.a))
+            arrays[f"b.{name}"] = np.asarray(jax.device_get(share.b))
+        else:
+            arrays[f"w.{name}"] = np.asarray(jax.device_get(share))
+    return _pack(header, arrays)
+
+
+def read_shared_input(data: bytes):
+    """bytes -> (protocol, curve, SharedInput with driver-specific shares)."""
+    import jax.numpy as jnp
+
+    from ..mpc.rep3 import Rep3FieldShare
+    from ..snark.shared import SharedInput
+
+    header, z = _unpack(data)
+    if header.get("magic") != "cocircom-tpu-shared-input":
+        raise ValueError("not a shared input file")
+    protocol = header["protocol"]
+    publics = {k: [int(s) for s in v] for k, v in header["public_inputs"].items()}
+    shared = {}
+    for key in z.files:
+        if key == "__meta__":
+            continue
+        kind, name = key.split(".", 1)
+        if protocol == "rep3":
+            if kind != "a":
+                continue
+            shared[name] = Rep3FieldShare(
+                jnp.asarray(z[f"a.{name}"]), jnp.asarray(z[f"b.{name}"])
+            )
+        else:
+            shared[name] = jnp.asarray(z[key])
+    return protocol, curve_by_name(header["curve"]), SharedInput(publics, shared)
+
+
 def shared_witness_from_split(protocol: str, curve, sw) -> bytes:
     """SharedWitness (driver-specific share) -> bytes."""
     import jax

@@ -672,11 +672,21 @@ def compile_circom(
     root = el.instantiate(main_expr[1], args)
 
     # ---- final id assignment: root first, then every component in global
-    # instantiation order; within a component outputs/inputs/intermediates ----
+    # instantiation order; within a component outputs/inputs/intermediates.
+    # Root inputs are ordered PUBLIC-FIRST: circom places public input
+    # signals directly after the outputs in the witness, so that the public
+    # part of the witness is the prefix [1, outputs, public inputs]
+    # (the layout SharedWitness/post_processing depends on,
+    # circom-mpc-vm/src/mpc_vm.rs:812-824). ----
     order: list[Sig] = []
 
     def visit_all(c: Component):
-        for bucket in (c.outs, c.ins, c.inters):
+        ins = c.ins
+        if c is root and publics:
+            pub = [b for b in ins if b[0] in publics]
+            priv = [b for b in ins if b[0] not in publics]
+            ins = pub + priv
+        for bucket in (c.outs, ins, c.inters):
             for _name, flat, _dims in bucket:
                 order.extend(flat)
 

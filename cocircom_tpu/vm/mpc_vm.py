@@ -205,41 +205,110 @@ class WitnessExtension:
 
     ARITH = {"add", "sub", "mul", "div", "neg", "cmux", "setc", "sett"}
     COMPARE = {"lt", "le", "gt", "ge", "eq", "neq"}
+    LOGIC = {"land", "lor", "lnot", "bnot"}
+    BINARY = {"band", "bor", "bxor"}  # need the a2b domain
+    CONST2 = {"shl", "shr", "pow"}  # second operand must be public const
 
     def run_shared(self, input_share_vec, input_slot_order: list[int]):
         """MPC witness extension over a driver share-vec of main inputs.
 
         input_share_vec: driver share vec (N_inputs,) whose k-th element is
-        the input signal for slot input_slot_order[k]. Supports the
-        arithmetic op subset (mul/div levels = one round each); comparison /
-        bit ops require the binary (a2b) domain — future work flagged at
-        runtime. Returns the driver share-vec of the FULL witness (n_vars).
-        """
+        the input signal for slot input_slot_order[k]. Returns the driver
+        share-vec of the FULL witness (n_vars)."""
+        V = self._init_signals()
+        V = self._scatter(
+            V, np.asarray(input_slot_order, np.int64), input_share_vec
+        )
+        V = self._exec_levels(V)
+        return self.d.slice_share(V, 0, self.c.n_vars)
+
+    def run_shared_input(self, shared_input):
+        """Full MPC witness extension from a SharedInput: bind public inputs
+        in-clear and private inputs as shares, execute, then post-process
+        into a SharedWitness — open [1, outputs, public inputs] (the witness
+        prefix) and keep the rest secret-shared.
+
+        Parity: WitnessExtension::run + post_processing
+        (circom-mpc-vm/src/mpc_vm.rs:899, :812-834)."""
+        from ..snark.groth16 import SharedWitness
+
         d = self.d
         c = self.c
         fr = d.fr
-        total = c.n_vars + c.n_temps
+        V = self._init_signals()
+        amount_public = 0
+        for name, slots in c.input_slots.items():
+            idx = np.asarray(slots, np.int64)
+            if name in shared_input.public_inputs:
+                vals = shared_input.public_inputs[name]
+                if len(vals) != len(slots):
+                    raise ValueError(
+                        f"input {name!r}: expected {len(slots)} values"
+                    )
+                amount_public += len(vals)
+                V = self._scatter(V, idx, d.promote_public(fr.encode(vals)))
+            elif name in shared_input.shared_inputs:
+                share = shared_input.shared_inputs[name]
+                if jax.tree.leaves(share)[0].shape[1] != len(slots):
+                    raise ValueError(
+                        f"input {name!r}: expected {len(slots)} shares"
+                    )
+                V = self._scatter(V, idx, share)
+            else:
+                raise KeyError(f"cannot find signal {name!r} in input share")
+        V = self._exec_levels(V)
+        n_pub = 1 + c.n_outputs + amount_public
+        opened = d.open_many(d.slice_share(V, 0, n_pub))
+        publics = [int(v) for v in fr.from_limbs(fr.from_mont(opened))]
+        witness = d.slice_share(V, n_pub, c.n_vars)
+        return SharedWitness(publics, witness)
+
+    def _init_signals(self):
+        d = self.d
+        fr = d.fr
+        total = self.c.n_vars + self.c.n_temps
         one = d.promote_public(fr.encode([1]))
         zeros = d.promote_public(jnp.zeros((fr.L, total - 1), jnp.uint32))
-        V = d.concat_shares(one, zeros)
-        V = self._scatter(V, np.asarray(input_slot_order, np.int64), input_share_vec)
+        return d.concat_shares(one, zeros)
+
+    def _exec_levels(self, V):
+        d = self.d
+        c = self.c
+        fr = d.fr
 
         def oidx(o):
             k, v = o
             return v if k == "w" else c.n_vars + v
 
+        needs_binary = self.COMPARE | self.BINARY | {"shr", "sqrt"}
         for level in c.levels:
             by_op: dict = {}
             for op, dst, ops_ in level:
-                if op not in self.ARITH and not (
-                    op in self.COMPARE and hasattr(d, "binary")
-                ):
+                if op not in (
+                    self.ARITH | self.LOGIC | self.CONST2 | {"sqrt"}
+                ) and not (op in needs_binary and hasattr(d, "binary")):
                     raise NotImplementedError(
                         f"op {op!r} on secret shares is not supported by the "
-                        f"{d.protocol} driver yet (binary domain required)"
+                        f"{d.protocol} driver (reference parity: "
+                        "witness_extension_impl.rs todo!)"
                     )
-                by_op.setdefault(op, []).append((dst, ops_))
-            for op, items in by_op.items():
+                if op in needs_binary and not hasattr(d, "binary"):
+                    raise NotImplementedError(
+                        f"op {op!r} needs the binary (a2b) domain, which the "
+                        f"{d.protocol} driver does not provide"
+                    )
+                key = op
+                if op in self.CONST2:
+                    second = ops_[1]
+                    if second[0] != "c":
+                        raise NotImplementedError(
+                            f"{op} with a secret shift/exponent is "
+                            "unsupported (witness_extension_impl.rs:224,395)"
+                        )
+                    key = (op, int(second[1]))
+                by_op.setdefault(key, []).append((dst, ops_))
+            for key, items in by_op.items():
+                op = key[0] if isinstance(key, tuple) else key
                 # pad each batch to a power of two: level widths vary wildly
                 # and every distinct width is a fresh XLA compile otherwise
                 width = max(1, 1 << (len(items) - 1).bit_length())
@@ -276,8 +345,51 @@ class WitnessExtension:
                 elif op in self.COMPARE:
                     xs, ys = self._operands2(V, items, oidx)
                     res = self._compare(op, xs, ys)
+                elif op == "land":
+                    xs, ys = self._operands2(V, items, oidx)
+                    res = d.mul_vec(xs, ys)
+                elif op == "lor":
+                    xs, ys = self._operands2(V, items, oidx)
+                    res = d.sub(d.add(xs, ys), d.mul_vec(xs, ys))
+                elif op == "lnot":
+                    xs, _ = self._operands2(V, items, oidx, unary=True)
+                    one = d.promote_public(fr.one_mont(jax.tree.leaves(xs)[0].shape[1:]))
+                    res = d.sub(one, xs)
+                elif op == "bnot":
+                    # (~a) mod p == (-a - 1) mod p: linear, no binary domain
+                    xs, _ = self._operands2(V, items, oidx, unary=True)
+                    one = d.promote_public(fr.one_mont(jax.tree.leaves(xs)[0].shape[1:]))
+                    res = d.neg(d.add(xs, one))
+                elif op in self.BINARY:
+                    xs, ys = self._operands2(V, items, oidx)
+                    res = d.binary.bitwise_arith(op, xs, ys)
+                elif op == "shl":
+                    s = key[1]
+                    xs, _ = self._operands2(V, items, oidx, unary=True)
+                    if s >= 256:
+                        res = d.promote_public(fr.zeros(jax.tree.leaves(xs)[0].shape[1:]))
+                    else:
+                        two_s = fr._bcast_const(
+                            fr._int_to_limbs_np((1 << s) * fr.R % fr.p),
+                            jax.tree.leaves(xs)[0].shape[1:],
+                        )
+                        res = d.mul_public(xs, two_s)
+                elif op == "shr":
+                    s = key[1]
+                    xs, _ = self._operands2(V, items, oidx, unary=True)
+                    if s >= 256:
+                        res = d.promote_public(fr.zeros(jax.tree.leaves(xs)[0].shape[1:]))
+                    else:
+                        res = d.binary.shr_arith(xs, s)
+                elif op == "pow":
+                    e = key[1]
+                    xs, _ = self._operands2(V, items, oidx, unary=True)
+                    res = self._pow_public(xs, e)
+                elif op == "sqrt":
+                    xs, _ = self._operands2(V, items, oidx, unary=True)
+                    res = self._sqrt_shared(xs)
                 V = self._scatter(V, dsts, res)
-        return d.slice_share(V, 0, c.n_vars)
+        return V
 
     def _compare(self, op, xs, ys):
         """Secret comparisons via the binary domain with circom's signed
@@ -307,6 +419,34 @@ class WitnessExtension:
         # gt = !(le)
         le = d.binary.bit_inject(d.binary.unsigned_ge(vb, va))
         return d.sub(one, le)
+
+    def _pow_public(self, xs, e: int):
+        """[x]^e, public exponent: square-and-multiply, ~2 log2(e) mul
+        rounds (witness_extension_impl.rs:200-222)."""
+        d = self.d
+        fr = d.fr
+        batch = jax.tree.leaves(xs)[0].shape[1:]
+        if e == 0:
+            return d.promote_public(fr.one_mont(batch))
+        acc = xs
+        for bit in bin(e)[3:]:  # MSB already consumed by acc = xs
+            acc = d.mul_vec(acc, acc)
+            if bit == "1":
+                acc = d.mul_vec(acc, xs)
+        return acc
+
+    def _sqrt_shared(self, xs):
+        """[sqrt(x)] normalized to the root closest to zero: masked-open
+        sqrt (rep3.rs:400-447) + sign correction 2*is_pos*s - s
+        (witness_extension_impl.rs:229-256)."""
+        d = self.d
+        fr = d.fr
+        s = d.sqrt_many(xs)
+        batch = jax.tree.leaves(s)[0].shape[1:]
+        zero = d.promote_public(fr.zeros(batch))
+        is_pos = self._compare("ge", s, zero)
+        two_ips = d.add(is_pos, is_pos)
+        return d.sub(d.mul_vec(two_ips, s), s)
 
     def _gather_operand(self, V, operands, oidx):
         d = self.d

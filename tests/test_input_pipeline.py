@@ -1,0 +1,106 @@
+"""The real MPC input workflow: split-input -> merge -> generate-witness
+(run_shared_input) -> co-Groth16 prove -> verify, with no cleartext witness
+ever materialized.
+
+Parity: bin/co-circom.rs run_split_input/run_merge_input_shares/
+run_generate_witness + examples/groth16/run_full_with_merge.sh (two input
+providers each holding part of the inputs).
+"""
+
+import json
+import os
+
+import pytest
+
+from cocircom_tpu.fields.params import BN254
+from cocircom_tpu.io.jsonio import parse_groth16_vk, parse_public_inputs
+from cocircom_tpu.io.shares_io import read_shared_input, write_shared_input
+from cocircom_tpu.io.witness import read_wtns
+from cocircom_tpu.io.zkey import read_groth16_zkey
+from cocircom_tpu.mpc.rep3 import Rep3Driver
+from cocircom_tpu.mpc.runner import run_parties
+from cocircom_tpu.ops.field import get_field
+from cocircom_tpu.snark.groth16 import CoGroth16
+from cocircom_tpu.snark.groth16_verify import verify_groth16
+from cocircom_tpu.snark.shared import merge_inputs, split_input_rep3
+from cocircom_tpu.vm.compiler import compile_circom
+from cocircom_tpu.vm.mpc_vm import WitnessExtension
+
+EX = "/root/reference/co-circom/co-circom/examples/groth16/test_vectors/multiplier2"
+TV = "/root/reference/test_vectors/Groth16/bn254/multiplier2"
+pytestmark = pytest.mark.skipif(not os.path.isdir(EX), reason="no reference vectors")
+
+FR = get_field(BN254.fr.p, "bn254.fr")
+
+SRC = """\
+pragma circom 2.0.0;
+template Multiplier2() {
+    signal input a;
+    signal input b;
+    signal output c;
+    c <== a*b;
+}
+component main{public [b]} = Multiplier2();
+"""
+
+
+def test_public_input_witness_layout():
+    """{public [b]} must place b directly after the output in the witness
+    (circom convention: [1, outputs, publics, privates...]); the example
+    zkey (nPublic=2) encodes this layout, so the prove/verify test below
+    fails if it drifts. Here: direct layout assertion with a=3, b=-11."""
+    circuit = compile_circom(SRC, BN254)
+    inputs = json.load(open(os.path.join(EX, "input.json")))
+    from cocircom_tpu.mpc.driver import plain_driver
+
+    vm = WitnessExtension(plain_driver(BN254), circuit)
+    got = vm.run_host(inputs)
+    p = BN254.fr.p
+    assert got == [1, (-33) % p, (-11) % p, 3]
+
+
+def test_split_merge_generate_prove_verify(tmp_path):
+    circuit = compile_circom(SRC, BN254)
+    pub = set(circuit.public_names)
+    assert pub == {"b"}
+
+    # two independent input providers, each sharing only their signals
+    in0 = json.load(open(os.path.join(EX, "input0.json")))  # {"a": 3}
+    in1 = json.load(open(os.path.join(EX, "input1.json")))  # {"b": 11}
+    shares0 = split_input_rep3(BN254, in0, pub, seed=7)
+    shares1 = split_input_rep3(BN254, in1, pub, seed=8)
+
+    # file round-trip + merge per party
+    merged = []
+    for i in range(3):
+        blob0 = write_shared_input("rep3", "bn254", shares0[i])
+        blob1 = write_shared_input("rep3", "bn254", shares1[i])
+        _, _, si0 = read_shared_input(blob0)
+        _, _, si1 = read_shared_input(blob1)
+        merged.append(merge_inputs(si0, si1))
+    assert set(merged[0].shared_inputs) == {"a"}
+    assert merged[0].public_inputs == {"b": [11]}
+
+    zk = read_groth16_zkey(open(os.path.join(EX, "multiplier2.zkey"), "rb").read())
+    vk = parse_groth16_vk(
+        open(os.path.join(EX, "verification_key.json"), "rb").read()
+    )
+
+    def party(i, net):
+        d = Rep3Driver(BN254, net)
+        vm = WitnessExtension(d, circuit)
+        sw = vm.run_shared_input(merged[i])
+        proof = CoGroth16(d).prove(zk, sw)
+        return sw.public_inputs, proof
+
+    results = run_parties(party)
+    publics = results[0][0]
+    assert publics == results[1][0] == results[2][0]
+    # [1, c=a*b=33, b=11]
+    assert publics == [1, 33, 11]
+    proof = results[0][1]
+    assert verify_groth16(
+        vk,
+        {"pi_a": proof["pi_a"], "pi_b": proof["pi_b"], "pi_c": proof["pi_c"]},
+        publics[1:],
+    )
