@@ -90,14 +90,8 @@ class Rep3Binary:
         return self.f._bcast_const(_mask_np(self.f, nbits), batch)
 
     def _rand_mask(self, batch):
-        """r_self ^ r_prev over bitlen bits (zero-sum XOR mask)."""
-        k1, k2 = self.d.rngs._next()
-        top = (1 << (self.bitlen - 16 * (self.f.L - 1))) - 1
-        r1 = jax.random.bits(k1, (self.f.L,) + tuple(batch), U32) & MASK16
-        r2 = jax.random.bits(k2, (self.f.L,) + tuple(batch), U32) & MASK16
-        r1 = r1.at[self.f.L - 1].set(r1[self.f.L - 1] & top)
-        r2 = r2.at[self.f.L - 1].set(r2[self.f.L - 1] & top)
-        return r1 ^ r2
+        """r_self ^ r_prev over bitlen bits (zero-sum XOR mask; ChaCha12)."""
+        return self.d.rngs.binary_mask(self.f, self.bitlen, batch)
 
     def xor(self, x: Rep3BinaryShare, y: Rep3BinaryShare):
         return Rep3BinaryShare(x.a ^ y.a, x.b ^ y.b)
@@ -313,3 +307,80 @@ class Rep3Binary:
         prod = d.mul_vec(x, y)
         s = d.add(x, y)
         return d.sub(s, d.add(prod, prod))
+
+    def b2a(self, x: Rep3BinaryShare):
+        """General binary -> arithmetic conversion (a2b.rs:440).
+
+        Correlated field elements from the domain-separated bitcomp ChaCha
+        streams: k2 is known to parties {1,2} (keyed by party 1's seed),
+        k3 to parties {2,0} (party 2's seed). Party 2 injects the bits of
+        k2+k3 XOR-masked; a binary add mod p yields z = x + k2 + k3, which
+        is opened to parties 0 and 1 only. Components:
+        c0 = open(z), c1 = -k2, c2 = -k3 (sum = x)."""
+        from .rep3 import Rep3FieldShare
+
+        d = self.d
+        f = self.f
+        batch = x.a.shape[1:]
+        r = self._rand_mask(batch)
+        zero = jnp.zeros((f.L,) + tuple(batch), U32)
+        if d.id == 0:
+            k3 = d.rngs.bit2.rand_mont(f, batch)  # party2's seed stream
+            res_b = f.neg(k3)
+            ya = r
+        elif d.id == 1:
+            k2 = d.rngs.bit1.rand_mont(f, batch)  # own seed (shared w/ next)
+            res_a = f.neg(k2)
+            ya = r
+        else:
+            k2 = d.rngs.bit2.rand_mont(f, batch)  # party1's seed stream
+            k3 = d.rngs.bit1.rand_mont(f, batch)  # own seed (shared w/ p0)
+            val_bits = f.from_mont(f.add(k2, k3))  # standard residue bits
+            ya = val_bits ^ r
+            res_a = f.neg(k3)
+            res_b = f.neg(k2)
+        d.net.send_next(ya)
+        y = Rep3BinaryShare(ya, jnp.asarray(d.net.recv_prev()))
+        z = self.sub_p_cmux(self.binary_add(x, y, self.bitlen + 1))
+        # partial open of z to parties 0 and 1
+        if d.id == 0:
+            d.net.send_next(z.b)
+            c1 = jnp.asarray(d.net.recv_prev())
+            opened = z.a ^ z.b ^ c1
+            res_a = f.to_mont(f._cond_sub_p(opened))
+        elif d.id == 1:
+            c2 = jnp.asarray(d.net.recv_prev())
+            opened = z.a ^ z.b ^ c2
+            res_b = f.to_mont(f._cond_sub_p(opened))
+        else:
+            d.net.send_next(z.b)
+        return Rep3FieldShare(res_a, res_b)
+
+    # ------------------------------------------- arithmetic-level bit ops
+
+    def shr_arith(self, x, s: int):
+        """[x] >> s with public s (witness_extension_impl.rs:367):
+        a2b -> logical shift -> b2a."""
+        if s == 0:
+            return x
+        if s >= self.bitlen:
+            from .rep3 import Rep3FieldShare
+
+            z = jnp.zeros_like(x.a)
+            return Rep3FieldShare(z, z)
+        return self.b2a(self.shr(self.a2b(x), s))
+
+    def bitwise_arith(self, op: str, x, y):
+        """[x] op [y] for op in and/or/xor (1 a2b pair + 1-2 AND rounds +
+        b2a), parity witness_extension_impl.rs:455-560."""
+        bx = self.a2b(x)
+        by = self.a2b(y)
+        if op == "band":
+            res = self.and_(bx, by)
+        elif op == "bxor":
+            res = self.xor(bx, by)
+        elif op == "bor":
+            res = self.xor(self.xor(bx, by), self.and_(bx, by))
+        else:
+            raise ValueError(op)
+        return self.b2a(res)
