@@ -62,7 +62,7 @@ def main():
     ntt_log = int(os.environ.get("COCIRCOM_BENCH_NTT_LOG", "20"))
     iters = int(os.environ.get("COCIRCOM_BENCH_ITERS", "2"))
 
-    msm_c = int(os.environ.get("COCIRCOM_BENCH_MSM_C", "8"))
+    msm_c = int(os.environ.get("COCIRCOM_BENCH_MSM_C", "0")) or None
 
     curve = BN254
     fr = get_field(curve.fr.p, curve.name + ".fr")
@@ -94,8 +94,7 @@ def main():
     scalars = gen_scalars(k2)
     fetch(pts)
 
-    c = msm_c or eng._window_c(n)
-    msm_t = timed(lambda: eng._msm_jit(pts, scalars, 16 * fr.L, c), iters)
+    msm_t = timed(lambda: eng.msm(pts, scalars, 16 * fr.L), iters)
     msm_pps = n / msm_t
 
     # --- NTT ---

@@ -260,9 +260,11 @@ class Field:
         return self._mont_reduce(self._mul_wide(a, b))
 
     def _pallas_ok(self, a, b) -> bool:
-        """Route to the Pallas VMEM kernel on TPU for batches big enough to
-        amortize a pallas_call (trace-time decision; tests pin the CPU
-        backend and keep the pure-XLA path)."""
+        """Route to the Pallas VMEM kernel on TPU (trace-time decision; tests
+        pin the CPU backend and keep the pure-XLA path). ALWAYS on for TPU:
+        besides throughput, collapsing each mont_mul from hundreds of HLO ops
+        to one custom call is what keeps big programs (MSM 2^20) compilable —
+        XLA-path compiles crash the worker (docs/TPU_NOTES.md)."""
         if os.environ.get("COCIRCOM_NO_PALLAS"):
             return False
         if jax.default_backend() != "tpu":
@@ -270,7 +272,7 @@ class Field:
         n = 1
         for d in jnp.broadcast_shapes(a.shape[1:], b.shape[1:]):
             n *= d
-        return n >= 512
+        return n >= int(os.environ.get("COCIRCOM_PALLAS_MIN", "1"))
 
     def mont_sqr(self, a):
         return self.mont_mul(a, a)

@@ -11,6 +11,14 @@ Algorithm (per c-bit signed window):
      sums) + tree sum — log K levels of batched adds.
   5. Horner across windows: c doublings + 1 add per window.
 
+Execution structure (round-2 redesign): the MSM is a HOST-ORCHESTRATED
+sequence of four small jitted programs — prepare / wave-step / bucket-reduce
+/ Horner — with the wave loop driven from Python. One monolithic program
+(round 1) hit multi-minute XLA compiles that crashed the remote TPU worker
+at n >= 2^16; small programs compile in seconds, cache well across sizes
+(the wave step is shape-stable in n), and dispatch latency hides behind the
+TPU's async execution queue.
+
 This mirrors the role of MSMProvider (/root/reference/mpc-core/src/traits.rs:561)
 — share-local over public points, so the same kernel serves Plain/REP3/Shamir
 (REP3 runs it per additive component, rep3.rs:934-947).
@@ -29,7 +37,6 @@ from .curve import CurveOps, ProjPoint
 
 def _signed_digits(scalar_limbs, nbits: int, c: int):
     """(Ls, N) 16-bit limbs -> list of nw (N,) int32 signed digits."""
-    Ls, = scalar_limbs.shape[:1]
     pad = jnp.concatenate(
         [scalar_limbs, jnp.zeros((1,) + scalar_limbs.shape[1:], scalar_limbs.dtype)], 0
     )
@@ -58,7 +65,10 @@ class MSM:
     def __init__(self, ops: CurveOps, c: int | None = None):
         self.ops = ops
         self.c = c
-        self._msm_jit = jax.jit(self._msm, static_argnums=(2, 3))
+        self._prepare_jit = jax.jit(self._prepare, static_argnums=(1, 2))
+        self._wave_jit = jax.jit(self._wave_step)
+        self._reduce_jit = jax.jit(self._reduce)
+        self._horner_jit = jax.jit(self._horner, static_argnums=1)
 
     def _window_c(self, n: int) -> int:
         if self.c:
@@ -66,17 +76,13 @@ class MSM:
         # balance N adds vs K*logK scan work per window
         return max(2, min(16, (max(n, 2).bit_length() + 1) // 2 + 2))
 
-    def _msm(self, points: ProjPoint, scalar_limbs, nbits: int, c: int):
-        """ALL windows processed simultaneously: the wave loop batches
-        (nw, K+1) bucket accumulators into every curve add — the difference
-        between latency-bound 1K-lane adds and full VPU occupancy."""
-        ops = self.ops
+    # ------------------------------------------------ phase 1: digit/sort
+
+    def _prepare(self, scalar_limbs, nbits: int, c: int):
         K = 1 << (c - 1)
         digits = jnp.stack(_signed_digits(scalar_limbs, nbits, c))  # (nw, N)
         nw, n = digits.shape
-        neg_points = ops.neg(points)
-
-        bucket = jnp.abs(digits)  # (nw, N)
+        bucket = jnp.abs(digits)
         order = jnp.argsort(bucket, axis=1, stable=True)
         sortedb = jnp.take_along_axis(bucket, order, axis=1)
         prev = jnp.concatenate(
@@ -84,7 +90,6 @@ class MSM:
         )
         starts = sortedb != prev
         arangeN = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nw, n))
-        # per-window bucket start positions (dump slot K+1 for non-starts)
         woff = jnp.arange(nw, dtype=jnp.int32)[:, None] * (K + 2)
         flat_idx = (jnp.where(starts, sortedb, K + 1) + woff).reshape(-1)
         bucket_start = jnp.full((nw * (K + 2),), n, jnp.int32)
@@ -98,11 +103,22 @@ class MSM:
         )
         rank = arangeN - run_start
         n_waves = jnp.max(jnp.where(sortedb > 0, rank, -1)) + 1
+        return digits, order, sortedb, bucket_start, n_waves
 
-        acc = ops.identity((nw, K + 1))
-        bidx = jnp.broadcast_to(jnp.arange(K + 1, dtype=jnp.int32), (nw, K + 1))
+    # ------------------------------------------------ phase 2: one wave
 
-        def gather_pts(pts, src):
+    def _wave_step(self, points, neg_points, digits, order, sortedb, bucket_start, w, acc):
+        ops = self.ops
+        nw, Kp1 = bucket_start.shape
+        n = sortedb.shape[1]
+        bidx = jnp.broadcast_to(jnp.arange(Kp1, dtype=jnp.int32), (nw, Kp1))
+        pos = bucket_start + w
+        safe = jnp.clip(pos, 0, n - 1)
+        sb = jnp.take_along_axis(sortedb, safe, axis=1)
+        valid = (pos < n) & (sb == bidx) & (bidx > 0)
+        src = jnp.take_along_axis(order, safe, axis=1)
+
+        def gather_pts(pts):
             return jax.tree.map(
                 lambda a: jnp.take(a, src.reshape(-1), axis=1).reshape(
                     a.shape[:1] + src.shape
@@ -110,32 +126,25 @@ class MSM:
                 pts,
             )
 
-        def wave(state):
-            w, acc = state
-            pos = bucket_start + w  # (nw, K+1)
-            safe = jnp.clip(pos, 0, n - 1)
-            sb = jnp.take_along_axis(sortedb, safe, axis=1)
-            valid = (pos < n) & (sb == bidx) & (bidx > 0)
-            src = jnp.take_along_axis(order, safe, axis=1)  # original indices
-            dsel = jnp.take_along_axis(digits, src, axis=1) < 0
-            pt = gather_pts(points, src)
-            ptn = gather_pts(neg_points, src)
-            ptsel = ops.select(dsel, ptn, pt)
-            added = ops.add(acc, ptsel)
-            return w + 1, ops.select(valid, added, acc)
+        dsel = jnp.take_along_axis(digits, src, axis=1) < 0
+        ptsel = ops.select(dsel, gather_pts(neg_points), gather_pts(points))
+        added = ops.add(acc, ptsel)
+        return ops.select(valid, added, acc)
 
-        _, acc = jax.lax.while_loop(
-            lambda st: st[0] < n_waves, wave, (jnp.int32(0), acc)
-        )
+    # ------------------------------------------------ phase 3: reduction
 
-        # bucket reduction, batched over windows: sum_j j*B_j per window
-        # = sum_k S_k where S_k = sum_{j>=k} B_j  (two suffix-sum passes)
+    def _reduce(self, acc):
+        """(nw, K+1) bucket accumulators -> per-window sums sum_j j*B_j."""
+        ops = self.ops
         tail = jax.tree.map(lambda a: a[:, :, 1:], acc)  # (L, nw, K)
         suffix = ops.suffix_sums(tail, axis=2)
         suffix2 = ops.suffix_sums(suffix, axis=2)
-        wsums = jax.tree.map(lambda a: jnp.take(a, 0, axis=2), suffix2)  # (L, nw)
+        return jax.tree.map(lambda a: jnp.take(a, 0, axis=2), suffix2)  # (L, nw)
 
-        # Horner across windows (MSB first): result = 2^c * result + W_t
+    # ------------------------------------------------ phase 4: Horner
+
+    def _horner(self, wsums, c: int):
+        ops = self.ops
         xs = jax.tree.map(lambda a: jnp.moveaxis(a, 1, 0)[::-1], wsums)
 
         def step(result, wt):
@@ -145,6 +154,34 @@ class MSM:
         result, _ = jax.lax.scan(step, ops.identity(()), xs)
         return result
 
+    # ------------------------------------------------ fused (traceable)
+
+    def _msm_fused(self, points: ProjPoint, scalar_limbs, nbits: int, c: int) -> ProjPoint:
+        """Single traced program (wave loop as lax.while_loop) — for use
+        INSIDE jit/shard_map (parallel/sharded.py) and for small sizes.
+        Large single-chip MSMs go through the phased msm() below instead."""
+        K = 1 << (c - 1)
+        digits, order, sortedb, bucket_start, n_waves = self._prepare(
+            scalar_limbs, nbits, c
+        )
+        nw = digits.shape[0]
+        neg_points = self.ops.neg(points)
+        acc0 = self.ops.identity((nw, K + 1))
+
+        def body(state):
+            w, acc = state
+            acc = self._wave_step(
+                points, neg_points, digits, order, sortedb, bucket_start, w, acc
+            )
+            return w + 1, acc
+
+        _, acc = jax.lax.while_loop(
+            lambda st: st[0] < n_waves, body, (jnp.int32(0), acc0)
+        )
+        return self._horner(self._reduce(acc), c)
+
+    # ------------------------------------------------ driver
+
     def msm(self, points: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:
         """points: batched ProjPoint (coords (L, N)); scalars (Ls, N) 16-bit
         standard-form limbs. Returns a single ProjPoint."""
@@ -153,7 +190,21 @@ class MSM:
             return self.ops.identity(())
         nbits = nbits or 16 * scalar_limbs.shape[0]
         c = self._window_c(n)
-        return self._msm_jit(points, scalar_limbs, nbits, c)
+        K = 1 << (c - 1)
+        digits, order, sortedb, bucket_start, n_waves = self._prepare_jit(
+            scalar_limbs, nbits, c
+        )
+        nw = digits.shape[0]
+        n_waves = int(jax.device_get(n_waves))
+        acc = self.ops.identity((nw, K + 1))
+        neg_points = jax.jit(self.ops.neg)(points)
+        for w in range(n_waves):
+            acc = self._wave_jit(
+                points, neg_points, digits, order, sortedb, bucket_start,
+                jnp.int32(w), acc,
+            )
+        wsums = self._reduce_jit(acc)
+        return self._horner_jit(wsums, c)
 
 
 @functools.lru_cache(maxsize=None)

@@ -33,7 +33,7 @@ def sharded_msm(ops: CurveOps, mesh: Mesh, axis: str = "data"):
     eng = msm_engine(ops)
 
     def local(points, scalars):
-        partial = eng._msm(points, scalars, 16 * scalars.shape[0], eng._window_c(scalars.shape[1]))
+        partial = eng._msm_fused(points, scalars, 16 * scalars.shape[0], eng._window_c(scalars.shape[1]))
         # gather the (tiny) per-device partial sums and reduce with EC adds
         gathered = jax.tree.map(
             lambda c: jax.lax.all_gather(c, axis, axis=1, tiled=False), partial
@@ -78,7 +78,7 @@ def prover_core_step(curve: CurveParams, mesh: Mesh, axis: str = "data"):
         h = f.sub(ab, c_vec)
         scal = f.from_mont(h)
         points = ProjPoint(px, py, pz)
-        partial = eng._msm(points, scal, 16 * f.L, eng._window_c(scal.shape[1]))
+        partial = eng._msm_fused(points, scal, 16 * f.L, eng._window_c(scal.shape[1]))
         gathered = jax.tree.map(
             lambda c: jax.lax.all_gather(c, axis, axis=1, tiled=False), partial
         )

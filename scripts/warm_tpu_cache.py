@@ -44,11 +44,11 @@ for logn in [int(x) for x in os.environ.get("WARM_MSM_LOGS", "17").split(",")]:
     sl = sl.at[fr.L - 1].set(sl[fr.L - 1] & 0x3FFF)
     c = eng._window_c(n)
     t = time.time()
-    r = eng._msm_jit(pts, sl, 256, c)
+    r = eng.msm(pts, sl, 256)
     fetch(r)
     print(f"msm 2^{logn} c={c}: {time.time()-t:.0f}s", flush=True)
     t = time.time()
-    r = eng._msm_jit(pts, sl, 256, c); fetch(r)
+    r = eng.msm(pts, sl, 256); fetch(r)
     print(f"msm 2^{logn} run: {time.time()-t:.1f}s -> {n/(time.time()-t):.0f} pts/s", flush=True)
 
 for logm in [int(x) for x in os.environ.get("WARM_NTT_LOGS", "20,22").split(",")]:
