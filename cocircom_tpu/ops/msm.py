@@ -67,8 +67,16 @@ class MSM:
         self.c = c
         self._prepare_jit = jax.jit(self._prepare, static_argnums=(1, 2))
         self._wave_jit = jax.jit(self._wave_step)
+        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=8)
         self._reduce_jit = jax.jit(self._reduce)
         self._horner_jit = jax.jit(self._horner, static_argnums=1)
+
+    # number of waves executed per device dispatch in the phased driver:
+    # one dispatch through the axon tunnel costs ~70 ms of latency, so
+    # running waves one-per-dispatch dominates the MSM wall time; a
+    # fori_loop chunk keeps the program one-wave-sized for the compiler
+    # while cutting dispatches WAVE_CHUNK-fold.
+    WAVE_CHUNK = 16
 
     def _window_c(self, n: int) -> int:
         if self.c:
@@ -130,6 +138,18 @@ class MSM:
         ptsel = ops.select(dsel, gather_pts(neg_points), gather_pts(points))
         added = ops.add(acc, ptsel)
         return ops.select(valid, added, acc)
+
+    def _wave_chunk(self, points, neg_points, digits, order, sortedb,
+                    bucket_start, w0, acc, n_steps: int):
+        """Run n_steps consecutive waves on-device (one dispatch)."""
+
+        def body(i, a):
+            return self._wave_step(
+                points, neg_points, digits, order, sortedb, bucket_start,
+                w0 + i, a,
+            )
+
+        return jax.lax.fori_loop(0, n_steps, body, acc)
 
     # ------------------------------------------------ phase 3: reduction
 
@@ -198,10 +218,12 @@ class MSM:
         n_waves = int(jax.device_get(n_waves))
         acc = self.ops.identity((nw, K + 1))
         neg_points = jax.jit(self.ops.neg)(points)
-        for w in range(n_waves):
-            acc = self._wave_jit(
+        # always dispatch full chunks (out-of-range waves are no-ops via the
+        # validity mask) so exactly ONE chunk program is ever compiled
+        for w in range(0, n_waves, self.WAVE_CHUNK):
+            acc = self._wave_chunk_jit(
                 points, neg_points, digits, order, sortedb, bucket_start,
-                jnp.int32(w), acc,
+                jnp.int32(w), acc, self.WAVE_CHUNK,
             )
         wsums = self._reduce_jit(acc)
         return self._horner_jit(wsums, c)
