@@ -109,7 +109,12 @@ def cmd_generate_proof(args):
         from .snark.groth16 import CoGroth16
 
         zk = read_groth16_zkey(open(args.zkey, "rb").read())
-        proof = CoGroth16(d).prove(zk, shared)
+        from .utils.trace import Tracer
+
+        tr = Tracer(net=getattr(d, "net", None))
+        with tr.span("generate-proof groth16"):
+            proof = CoGroth16(d, tracer=tr).prove(zk, shared)
+        tr.report()
         from .io.jsonio import dump_groth16_proof, dump_public_inputs
 
         out = dump_groth16_proof(curve, proof["pi_a"], proof["pi_b"], proof["pi_c"])
@@ -119,7 +124,12 @@ def cmd_generate_proof(args):
         from .snark.plonk import CoPlonk
 
         zk = read_plonk_zkey(open(args.zkey, "rb").read())
-        proof = CoPlonk(d).prove(zk, shared)
+        from .utils.trace import Tracer
+
+        tr = Tracer(net=getattr(d, "net", None))
+        with tr.span("generate-proof plonk"):
+            proof = CoPlonk(d, tracer=tr).prove(zk, shared)
+        tr.report()
         out = dump_plonk_proof(curve, proof)
     with open(args.out, "w") as fh:
         fh.write(out)
@@ -285,8 +295,40 @@ def _select_device(device: str):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def _layered_config(argv):
+    """figment-style layering (co-circom/src/lib.rs:447-482 parity):
+    config file (--config, TOML or JSON) -> env COCIRCOM_<KEY> -> CLI
+    flags. Returns a dict of default overrides keyed by dest name."""
+    cfgpath = None
+    argv = list(sys.argv[1:] if argv is None else argv)
+    for i, a in enumerate(argv):
+        if a == "--config" and i + 1 < len(argv):
+            cfgpath = argv[i + 1]
+        elif a.startswith("--config="):
+            cfgpath = a.split("=", 1)[1]
+    layered: dict = {}
+    if cfgpath:
+        raw = open(cfgpath, "rb").read()
+        if cfgpath.endswith(".toml"):
+            import tomllib
+
+            layered.update(tomllib.loads(raw.decode()))
+        else:
+            layered.update(json.loads(raw))
+    _ENV_KEYS = ("protocol", "curve", "net_config", "threshold", "device",
+                 "out_dir", "link")
+    for key in _ENV_KEYS:
+        env = os.environ.get("COCIRCOM_" + key.upper())
+        if env is not None:
+            layered[key] = env
+    if "threshold" in layered:
+        layered["threshold"] = int(layered["threshold"])
+    return layered
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cocircom-tpu", description=__doc__)
+    ap.add_argument("--config", help="TOML/JSON config file (lowest layer)")
     ap.add_argument(
         "--device",
         default=os.environ.get("COCIRCOM_DEVICE", "cpu"),
@@ -363,6 +405,17 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_generate_witness)
 
+    layered = _layered_config(argv)
+    if layered:
+        # defaults only — explicit CLI flags still win (highest layer)
+        for action in ap._actions:
+            if action.dest in layered:
+                action.default = layered[action.dest]
+        for sp_action in ap._subparsers._group_actions[0].choices.values():
+            for action in sp_action._actions:
+                if action.dest in layered:
+                    action.default = layered[action.dest]
+                    action.required = False
     args = ap.parse_args(argv)
     _select_device(args.device)
     args.fn(args)

@@ -227,7 +227,28 @@ class Rep3Driver(Driver):
         return self.mul_public(r_squ_inv, y_sq)
 
     def inv_many(self, x: Rep3FieldShare):
-        """Masked-open inversion (rep3.rs:530-542): 2 rounds."""
+        """Masked-open inversion (rep3.rs:530-542): 2 rounds.
+
+        NOTE the inherent leak of this construction (shared by the
+        reference): the opened r*x is 0 iff x is 0, so all parties learn
+        whether the secret was zero. The reference ABORTS on a zero
+        denominator (rep3.rs:536 inverse() error) — we match that instead
+        of silently mapping 0 -> 0."""
+        r = self.rand(x.a.shape[1:])
+        ry = self.mul_open_many(r, x)
+        if not bool(jnp.all(jnp.any(ry != 0, axis=0))):
+            raise ZeroDivisionError(
+                "MPC inversion of a zero share (leaks zero-ness by "
+                "construction; reference rep3.rs:530-542 errors too)")
+        ry_inv = self.fr.batch_inv(ry) if ry.ndim > 1 and ry.shape[1] > 1 else self.fr.inv(ry)
+        return self.mul_public(r, ry_inv)
+
+    def inv_many_guarded(self, x: Rep3FieldShare):
+        """Like inv_many but maps 0 -> 0 instead of aborting — the VM's
+        guarded-division semantics (x/0 -> 0 on lanes whose secret branch
+        is untaken; circom-mpc-vm mpc_vm.rs:523-531 guards divisors the
+        same way). Zero-ness of individual lanes is still revealed, which
+        is inherent to the masked-open construction."""
         r = self.rand(x.a.shape[1:])
         ry = self.mul_open_many(r, x)
         ry_inv = self.fr.batch_inv(ry) if ry.ndim > 1 and ry.shape[1] > 1 else self.fr.inv(ry)

@@ -225,6 +225,22 @@ class ShamirDriver(Driver):
         return self.open_many(self.mul_vec(a, b))
 
     def inv_many(self, x):
+        """Masked-open inversion; aborts on zero denominators (the opened
+        r*x reveals zero-ness by construction — reference errors too)."""
+        r = self.rand(x.shape[1:])
+        rx = self.mul_vec(r, x)
+        opened = self.open_many(rx)
+        if not bool(jnp.all(jnp.any(opened != 0, axis=0))):
+            raise ZeroDivisionError("MPC inversion of a zero share")
+        inv = (
+            self.fr.batch_inv(opened)
+            if opened.ndim > 1 and opened.shape[1] > 1
+            else self.fr.inv(opened)
+        )
+        return self.mul_public(r, inv)
+
+    def inv_many_guarded(self, x):
+        """0 -> 0 variant for the VM's guarded division (see rep3.py)."""
         r = self.rand(x.shape[1:])
         rx = self.mul_vec(r, x)
         opened = self.open_many(rx)

@@ -42,8 +42,11 @@ def _expand(pt: ProjPoint) -> ProjPoint:
 
 
 class CoGroth16:
-    def __init__(self, driver):
+    def __init__(self, driver, tracer=None):
+        from ..utils.trace import tracer_or_null
+
         self.driver = driver
+        self.tracer = tracer_or_null(tracer)
 
     # ------------------------------------------------------------------
 
@@ -97,19 +100,24 @@ class CoGroth16:
         assert int(pub[0]) == 1, "public_inputs[0] must be the constant 1"
         pub_mont = d.encode_publics(pub)
 
-        h = self.witness_map_from_matrices(zkey, pub_mont, shared.witness)
+        tr = self.tracer
+        with tr.span("witness_map (constraints+iFFT/coset/FFT)"):
+            h = self.witness_map_from_matrices(zkey, pub_mont, shared.witness)
         r = d.rand(())
         s = d.rand(())
 
         # MSMs over zkey queries
-        h_acc = d.msm_g1(d.g1_proj(zkey.h_query), h)
-        l_aux = d.msm_g1(d.g1_proj(zkey.l_query), shared.witness)
+        with tr.span("MSM h_query + l_query"):
+            h_acc = d.msm_g1(d.g1_proj(zkey.h_query), h)
+            l_aux = d.msm_g1(d.g1_proj(zkey.l_query), shared.witness)
 
         delta_g1 = _point_at(d.host_g1(zkey.delta_g1), 0)
         rs = d.mul(r, s)  # round
         r_s_delta = d.scalar_mul_public_point(d.g1, delta_g1, rs)
 
         pub_rest = [int(x) for x in pub[1:]]
+        tr_ctx = tr.span("A/B coefficient MSMs + open endgame")
+        tr_ctx.__enter__()
         a_query = d.g1_proj(zkey.a_query)
         r_delta = d.scalar_mul_public_point(d.g1, delta_g1, r)
         g_a = self._calculate_coeff(r_delta, a_query, zkey.alpha_g1, pub_rest, shared.witness)
@@ -136,6 +144,7 @@ class CoGroth16:
         g_c = d.point_add(d.g1, g_c, h_acc)
 
         g_c_open, g2_b_open = d.open_two_points(g_c, g2_b)  # round
+        tr_ctx.__exit__(None, None, None)
 
         pi_a = d.g1.decode_points(_expand(g_a_open))[0]
         pi_b = d.g2.decode_points(_expand(g2_b_open))[0]

@@ -15,6 +15,8 @@ All Fiat-Shamir challenges ride the byte-exact Keccak256 transcript
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,9 +28,20 @@ from .groth16 import SharedWitness, _expand
 
 
 class CoPlonk:
-    def __init__(self, driver, deterministic_blinding: bool = False):
+    def __init__(self, driver, deterministic_blinding: bool = False,
+                 tracer=None):
+        from ..utils.trace import tracer_or_null
+
+        if deterministic_blinding and not os.environ.get(
+                "COCIRCOM_INSECURE_DETERMINISTIC"):
+            raise PermissionError(
+                "deterministic_blinding replaces the 11 PLONK blinding "
+                "scalars with public constants and destroys zero-knowledge; "
+                "it exists only for round-KAT tests. Set "
+                "COCIRCOM_INSECURE_DETERMINISTIC=1 to acknowledge.")
         self.d = driver
         self.deterministic = deterministic_blinding
+        self.tracer = tracer_or_null(tracer)
 
     # ------------------------------------------------------------- helpers
 
@@ -120,6 +133,7 @@ class CoPlonk:
         root4 = host.root_of_unity(zk.power + 2)
         root2 = host.root_of_unity(2)
 
+        _tr = self.tracer
         publics, W = self._build_witness(zk, shared)
 
         # blinding scalars b[0..10]
@@ -132,6 +146,8 @@ class CoPlonk:
         else:
             bs = [d.rand(()) for _ in range(11)]
 
+        _sp = _tr.span("round 1")
+        _sp.__enter__()
         # ---------------- round 1 ----------------
         def wire_buffer(mapping):
             idx = np.zeros(n, np.int64)
@@ -166,6 +182,9 @@ class CoPlonk:
             for i in range(3)
         )
 
+        _sp.__exit__(None, None, None)
+        _sp = _tr.span("round 2")
+        _sp.__enter__()
         # ---------------- round 2 ----------------
         ts = Keccak256Transcript(d.curve)
         for pt in (zk.qm_c, zk.ql_c, zk.qr_c, zk.qo_c, zk.qc_c, zk.s1_c, zk.s2_c, zk.s3_c):
@@ -224,6 +243,9 @@ class CoPlonk:
         commit_z_pt = d.open_point(d.g1, self._commit(zk, poly_z))
         commit_z = self._decode_point(commit_z_pt)
 
+        _sp.__exit__(None, None, None)
+        _sp = _tr.span("round 3")
+        _sp.__enter__()
         # ---------------- round 3 ----------------
         ts = Keccak256Transcript(d.curve)
         ts.add_scalar(beta)
@@ -405,6 +427,9 @@ class CoPlonk:
             for i in range(3)
         )
 
+        _sp.__exit__(None, None, None)
+        _sp = _tr.span("round 4")
+        _sp.__enter__()
         # ---------------- round 4 ----------------
         ts = Keccak256Transcript(d.curve)
         ts.add_scalar(alpha)
@@ -429,6 +454,9 @@ class CoPlonk:
         eval_s1 = int(fr.from_limbs(fr.from_mont(fr.sum(fr.mont_mul(s1_coef, xi_pows_n)))))
         eval_s2 = int(fr.from_limbs(fr.from_mont(fr.sum(fr.mont_mul(s2_coef, xi_pows_n)))))
 
+        _sp.__exit__(None, None, None)
+        _sp = _tr.span("round 5")
+        _sp.__enter__()
         # ---------------- round 5 ----------------
         ts = Keccak256Transcript(d.curve)
         ts.add_scalar(xi)
@@ -539,6 +567,7 @@ class CoPlonk:
             for i in range(2)
         )
 
+        _sp.__exit__(None, None, None)
         return {
             "curve": d.curve,
             "A": commit_a,

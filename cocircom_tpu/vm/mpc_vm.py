@@ -332,7 +332,7 @@ class WitnessExtension:
                     elif op == "mul":
                         res = d.mul_vec(xs, ys)
                     else:
-                        res = d.mul_vec(xs, d.inv_many(ys))
+                        res = d.mul_vec(xs, getattr(d, "inv_many_guarded", d.inv_many)(ys))
                 elif op == "neg":
                     xs, _ = self._operands2(V, items, oidx, unary=True)
                     res = d.neg(xs)

@@ -61,9 +61,15 @@ def _shared(zk, w):
 def test_round_kats_deterministic():
     """Deterministic blinding b[i]=i: reference round2/3/5 test vectors
     (co-plonk round2.rs:330, round3.rs:576, round5.rs:414)."""
+    import os
+
     zk, w, vk, pub = load_case("bn254", "multiplier2")
     d = PlainDriver(curve_by_name("bn254"), seed=1)
-    prover = CoPlonk(d, deterministic_blinding=True)
+    os.environ["COCIRCOM_INSECURE_DETERMINISTIC"] = "1"
+    try:
+        prover = CoPlonk(d, deterministic_blinding=True)
+    finally:
+        del os.environ["COCIRCOM_INSECURE_DETERMINISTIC"]
     proof = prover.prove(zk, _shared(zk, w))
     assert proof["Z"] == (
         21851995660159341992573113210608672476110709810652234421585224566450425950906,
