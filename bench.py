@@ -111,6 +111,51 @@ def main():
     # --- field mul throughput at NTT size ---
     mm_t = timed(lambda: fr.mont_mul(coeffs, coeffs), max(iters, 4))
 
+    # --- co-Groth16 prover core at 2^prove_log constraints (optional) ---
+    # witness_map slice (mul_vec + iFFT/coset/FFT x3 + mul + sub) followed
+    # by the h_query MSM — the wall-time-dominant phases of a prove
+    # (groth16.rs:141-266). Synthetic data, real kernel shapes.
+    prove_log = int(os.environ.get("COCIRCOM_BENCH_PROVE_LOG", "0"))
+    prove_s = None
+    if prove_log:
+        np_ = 1 << prove_log
+
+        @jax.jit
+        def gen_vec(key):
+            raw = jax.random.bits(key, (fr.L, np_), jnp.uint32) & 0xFFFF
+            return fr._cond_sub_p(raw.at[fr.L - 1].set(raw[fr.L - 1] & 0x3FFF))
+
+        ka, kb, kc2, kp = jax.random.split(jax.random.key(11), 4)
+        av = gen_vec(ka)
+        bv = gen_vec(kb)
+        cv = gen_vec(kc2)
+
+        @jax.jit
+        def gen_points2(key):
+            gen = ops.encode_points([curve.g1_gen])
+            genb = jax.tree.map(
+                lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], np_)), gen)
+            small = jax.random.bits(key, (1, np_), jnp.uint32) & 0x7FFF | 1
+            return ops.scalar_mul(genb, small, nbits=16)
+
+        hpts = gen_points2(kp)
+        fetch(hpts)
+        from cocircom_tpu.fields.params import curve_by_name
+        from cocircom_tpu.mpc.driver import PlainDriver
+
+        d = PlainDriver(curve)
+
+        def prove_core():
+            c1 = fr.mont_mul(av, bv)
+            a2 = d.fft(d.coset_shift(d.ifft(av)))
+            b2 = d.fft(d.coset_shift(d.ifft(bv)))
+            ab = fr.mont_mul(a2, b2)
+            c2 = d.fft(d.coset_shift(d.ifft(c1)))
+            h = fr.sub(ab, c2)
+            return eng.msm(hpts, fr.from_mont(h), 16 * fr.L)
+
+        prove_s = timed(prove_core, 1)
+
     line = {
         "metric": "msm_g1_points_per_sec_per_chip",
         "value": round(msm_pps, 1),
@@ -124,6 +169,9 @@ def main():
         "ntt_ms": round(ntt_t * 1e3, 2),
         "mont_mul_per_sec": round(m / mm_t, 1),
     }
+    if prove_s is not None:
+        line["prove_core_n"] = 1 << prove_log
+        line["prove_core_s"] = round(prove_s, 2)
     print(json.dumps(line))
 
 

@@ -9,7 +9,6 @@ the received sub-shares: one communication round, semi-honest.
 
 from __future__ import annotations
 
-import secrets
 
 import jax
 import jax.numpy as jnp
@@ -28,12 +27,11 @@ def translate_rep3_to_shamir(
     of all parties' deals — a degree-t sharing of the replicated secret."""
     fr = get_field(curve.fr.p, curve.name + ".fr")
     n = net.n_parties
-    key = jax.random.key(secrets.randbits(32))
+    from ..utils.chacha import ChaChaStream, fresh_seed
+
+    stream = ChaChaStream(fresh_seed(), domain=5)
     batch = share.a.shape[1:]
-    coeffs = []
-    for _ in range(threshold):
-        key, sub = jax.random.split(key)
-        coeffs.append(fr.rand_mont(sub, batch))
+    coeffs = [stream.rand_mont(fr, batch) for _ in range(threshold)]
     deals = _eval_poly_shares(fr, share.a, coeffs, list(range(1, n + 1)))
     for p in range(n):
         if p != net.id:

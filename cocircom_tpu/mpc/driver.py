@@ -39,7 +39,7 @@ def segment_sum_mont(f: Field, values, seg_ids, num_segments: int):
     sums = jax.ops.segment_sum(data, seg_ids, num_segments=num_segments)
     cols = jnp.moveaxis(sums, -1, 0)  # (L, num_segments), limbs < 2^31
     wide = jnp.concatenate([cols, jnp.zeros_like(cols)], axis=0)
-    red = f._mont_reduce(wide)  # = sum * R^{-1}
+    red = f.mont_reduce_wide(wide)  # = sum * R^{-1}
     return f.mont_mul(red, f._bcast_const(f.r2_np, red.shape[1:]))
 
 

@@ -283,7 +283,7 @@ class Rep3Binary:
         # arithmetic trivial sharings of each XOR component: component x_i is
         # known to parties i (as .a) and i+1 (as .b)
         def to_field(bits):
-            return f._cond_sub_p(bits)  # 0/1 limbs are canonical already
+            return f.cond_sub_p(bits)  # 0/1 limbs are canonical already
 
         zero = jnp.zeros_like(x.a)
         if d.id == 0:
@@ -347,11 +347,11 @@ class Rep3Binary:
             d.net.send_next(z.b)
             c1 = jnp.asarray(d.net.recv_prev())
             opened = z.a ^ z.b ^ c1
-            res_a = f.to_mont(f._cond_sub_p(opened))
+            res_a = f.to_mont(f.cond_sub_p(opened))
         elif d.id == 1:
             c2 = jnp.asarray(d.net.recv_prev())
             opened = z.a ^ z.b ^ c2
-            res_b = f.to_mont(f._cond_sub_p(opened))
+            res_b = f.to_mont(f.cond_sub_p(opened))
         else:
             d.net.send_next(z.b)
         return Rep3FieldShare(res_a, res_b)

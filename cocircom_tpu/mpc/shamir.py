@@ -7,10 +7,10 @@ Parity: /root/reference/mpc-core/src/protocols/shamir.rs —
     masked by a preprocessed double share (r_t, r_2t) (shamir.rs:252-301):
     parties open x+r at degree 2t to the king, the king reshares at degree
     t, parties subtract r_t.
-  * preprocessing (shamir.rs:873-1010 ShamirRng): dealerless — every party
-    deals a random double sharing, pairs are the sums (DN07-style; we sum
-    all contributions instead of the Vandermonde extraction — fewer pairs
-    per round, same security model, fine for n=3).
+  * preprocessing (shamir.rs:873-1010 ShamirRng): dealerless Vandermonde
+    batch extraction (DN07) — every party deals one random double sharing
+    per slot and the [i^k] Vandermonde rows squeeze t+1 independent pairs
+    out of each slot, evaluated as batched device tensor ops.
   * MSM/FFT are share-local (linearity), single component.
 
 Requires n >= 2t+1.
@@ -18,7 +18,6 @@ Requires n >= 2t+1.
 
 from __future__ import annotations
 
-import secrets
 from typing import Any
 
 import jax
@@ -64,15 +63,17 @@ def _eval_poly_shares(f: Field, secret_mont, coeffs, xs: list[int]):
 
 
 def share_field_vec_shamir(
-    f: Field, vec_mont, threshold: int, n_parties: int, seed: int | None = None
+    f: Field, vec_mont, threshold: int, n_parties: int,
+    seed: bytes | int | None = None
 ):
-    """Dealer-side split: returns one (L, N) share array per party."""
-    key = jax.random.key(secrets.randbits(32) if seed is None else seed)
+    """Dealer-side split: returns one (L, N) share array per party.
+    Mask entropy: 256-bit ChaCha key (fresh OS entropy unless a test seed
+    is passed, which is SHA-256 expanded)."""
+    from ..utils.chacha import ChaChaStream, fresh_seed
+
+    stream = ChaChaStream(fresh_seed() if seed is None else seed, domain=3)
     batch = vec_mont.shape[1:]
-    coeffs = []
-    for _ in range(threshold):
-        key, sub = jax.random.split(key)
-        coeffs.append(f.rand_mont(sub, batch))
+    coeffs = [stream.rand_mont(f, batch) for _ in range(threshold)]
     return _eval_poly_shares(f, vec_mont, coeffs, list(range(1, n_parties + 1)))
 
 
@@ -101,7 +102,9 @@ class ShamirDriver(Driver):
         self.id = net.id
         self.t = threshold
         self.n = net.n_parties
-        self._key = jax.random.key(secrets.randbits(32))
+        from ..utils.chacha import ChaChaStream, fresh_seed
+
+        self._stream = ChaChaStream(fresh_seed(), domain=4)
         self._pair_buf: list = []  # list of (r_t, r_2t) (L,) columns
         host = curve.fr
         # lagrange for open (parties id, id-1, ..., id-t)
@@ -119,8 +122,7 @@ class ShamirDriver(Driver):
     # ------------------------------------------------------- rng helpers
 
     def _rand(self, shape=()):
-        self._key, sub = jax.random.split(self._key)
-        return self.fr.rand_mont(sub, shape)
+        return self._stream.rand_mont(self.fr, shape)
 
     def _deal(self, secret_mont, degree: int):
         """Deal a degree-d sharing of secret to all parties; returns own
@@ -136,16 +138,42 @@ class ShamirDriver(Driver):
         return shares[self.id]
 
     def preprocess(self, amount: int):
-        """Generate `amount` random double shares (r_t, r_2t) dealerlessly."""
-        contrib = self._rand((amount,))
+        """Batch-generate random double shares (r_t, r_2t) dealerlessly with
+        Vandermonde extraction (shamir.rs:899-1010): every party deals ONE
+        random double sharing per slot; applying the rows [i^k]_{k<=t} of
+        the Vandermonde matrix over the n received share columns yields
+        t+1 INDEPENDENT pairs per slot instead of just their sum -- the
+        DN07 amortization. All rows are evaluated as batched device
+        mont_mul/add over (L, n, amount) tensors."""
+        slots = -(-amount // (self.t + 1))
+        contrib = self._rand((slots,))
         own_t = self._deal(contrib, self.t)
         own_2t = self._deal(contrib, 2 * self.t)
-        rt, r2t = own_t, own_2t
+        cols_t = [None] * self.n
+        cols_2t = [None] * self.n
+        cols_t[self.id] = own_t
+        cols_2t[self.id] = own_2t
         for p in range(self.n):
             if p != self.id:
-                rt = self.fr.add(rt, jnp.asarray(self.net.recv(p)))
-                r2t = self.fr.add(r2t, jnp.asarray(self.net.recv(p)))
-        self._pair_buf.append((rt, r2t))
+                cols_t[p] = jnp.asarray(self.net.recv(p))
+                cols_2t[p] = jnp.asarray(self.net.recv(p))
+        # (L, n, slots) stacks
+        st = jnp.stack(cols_t, axis=1)
+        s2t = jnp.stack(cols_2t, axis=1)
+        fr = self.fr
+        host = self.curve.fr
+        # row k: coefficients (1^k, 2^k, ..., n^k) in Montgomery form
+        row_pts = list(range(1, self.n + 1))
+        for k in range(self.t + 1):
+            coef = fr.encode([pow(x, k, host.p) for x in row_pts])  # (L, n)
+            wt = fr.mont_mul(st, coef[:, :, None])
+            w2t = fr.mont_mul(s2t, coef[:, :, None])
+            rt = wt[:, 0]
+            r2t = w2t[:, 0]
+            for i in range(1, self.n):
+                rt = fr.add(rt, wt[:, i])
+                r2t = fr.add(r2t, w2t[:, i])
+            self._pair_buf.append((rt, r2t))
 
     def _get_pairs(self, amount: int):
         have = sum(p[0].shape[1] for p in self._pair_buf)
@@ -290,8 +318,13 @@ class ShamirDriver(Driver):
 
     def _single_scalar_mul(self, ops: CurveOps, point: ProjPoint, limbs):
         if limbs.ndim == 1:
+            batch = jax.tree.leaves(point)[0].shape[1:]
+            if batch:
+                # one scalar against a batched point: broadcast the scalar
+                lb = jnp.broadcast_to(limbs[:, None], limbs.shape[:1] + batch)
+                return ops.scalar_mul(point, lb)
             limbs = limbs[:, None]
-            point = jax.tree.map(lambda c: c[..., None] if c.ndim == 1 else c, point)
+            point = jax.tree.map(lambda c: c[..., None], point)
             res = ops.scalar_mul(point, limbs)
             return jax.tree.map(lambda c: jnp.squeeze(c, -1), res)
         return ops.scalar_mul(point, limbs)

@@ -72,6 +72,13 @@ class Field:
         # tiny scan programs, one of which reliably crashes LLVM codegen on
         # this jaxlib (see tests/conftest.py stability notes)
         self.rand_mont = jax.jit(self.rand_mont, static_argnums=1)
+        # jitted wide-reduction entry point for EAGER callers (chacha PRF,
+        # segment sums): an eager _mont_reduce compiles a tiny lax.scan
+        # per shape, which is exactly the program that intermittently
+        # crashes this jaxlib's CPU LLVM codegen in threaded processes
+        # (docs/TPU_NOTES.md); routing through jit hits the pjit cache
+        self.mont_reduce_wide = jax.jit(self._mont_reduce)
+        self.cond_sub_p = jax.jit(self._cond_sub_p)
 
     # ------------------------------------------------------------------
     # host conversions

@@ -81,8 +81,12 @@ class MSM:
     def _window_c(self, n: int) -> int:
         if self.c:
             return self.c
-        # balance N adds vs K*logK scan work per window
-        return max(2, min(16, (max(n, 2).bit_length() + 1) // 2 + 2))
+        # balance N adds vs K*logK scan work per window; capped at 8 — the
+        # v5e probe (scripts/probe_msm.py) measured c=8 fastest by 4-10x
+        # over both smaller and larger windows at 2^15..2^17 (43K/66K
+        # points/s): (nw=32, K+1=129) saturates the VPU lanes while larger
+        # windows blow past VMEM-friendly wave sizes
+        return max(2, min(8, (max(n, 2).bit_length() + 1) // 2 + 2))
 
     # ------------------------------------------------ phase 1: digit/sort
 

@@ -123,4 +123,4 @@ class ChaChaStream:
         wide-reduce construction as Field.rand_mont)."""
         raw = self.limbs16((2 * f.L,) + tuple(batch_shape))
         raw = raw.at[2 * f.L - 1].set(0)
-        return f._mont_reduce(raw)
+        return f.mont_reduce_wide(raw)

@@ -34,7 +34,7 @@ def main():
     key = jax.random.key(7)
     k1, k2 = jax.random.split(key)
 
-    for log_n, cs in [(15, (6, 7, 9)), (17, (8,)), (20, (8,)), (20, (10,))]:
+    for log_n, cs in [(20, (8,))]:
         n = 1 << log_n
 
         @jax.jit

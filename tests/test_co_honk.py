@@ -1,0 +1,64 @@
+"""co-UltraHonk: 3 REP3 parties jointly produce an UltraHonk proof over a
+secret-shared witness; the proof must BYTE-EQUAL the plain prover's (the
+protocol is deterministic given witness+CRS) and verify.
+
+Parity: /root/reference/tests/tests/noir/proof_tests/rep3.rs.
+"""
+
+import os
+
+import jax.numpy as jnp
+import pytest
+
+from cocircom_tpu.fields.params import BN254
+from cocircom_tpu.honk import prover as plain_prover
+from cocircom_tpu.honk import verifier
+from cocircom_tpu.honk.builder import UltraCircuitBuilder, acir_to_format
+from cocircom_tpu.honk.co_prover import CoUltraHonk
+from cocircom_tpu.honk.crs import TestCrs
+from cocircom_tpu.honk.proving_key import create_keys
+from cocircom_tpu.mpc.rep3 import Rep3Driver, share_field_vec
+from cocircom_tpu.mpc.runner import run_parties
+from cocircom_tpu.noir.acir import load_program_json, parse_witness_stack
+from cocircom_tpu.ops.field import get_field
+
+TV = "/root/reference/test_vectors/noir"
+pytestmark = pytest.mark.skipif(not os.path.isdir(TV), reason="no vectors")
+
+FR = get_field(BN254.fr.p, "bn254.fr")
+
+
+def _load(name):
+    circuits, _abi = load_program_json(f"{TV}/{name}/kat/{name}.json")
+    stack = parse_witness_stack(open(f"{TV}/{name}/kat/{name}.gz", "rb").read())
+    wmap = stack[0][1]
+    witness = [wmap.get(i, 0) for i in range(max(wmap) + 1)]
+    return circuits[0], witness
+
+
+@pytest.mark.parametrize("name", ["addition_multiplication"])
+def test_co_honk_matches_plain(name):
+    circuit, witness = _load(name)
+    af = acir_to_format(circuit)
+    crs = TestCrs()
+
+    # plain reference proof + vk
+    b_plain = UltraCircuitBuilder(af, witness)
+    pk, vk = create_keys(b_plain, crs)
+    want = plain_prover.prove(pk)
+
+    varnum = af.varnum
+    vec = FR.to_mont(jnp.asarray(FR.to_limbs(witness[:varnum] +
+                                             [0] * (varnum - len(witness)))))
+    shares3 = share_field_vec(FR, vec, seed=31)
+
+    def party(pid, net):
+        d = Rep3Driver(BN254, net)
+        b = UltraCircuitBuilder(acir_to_format(circuit), [0] * varnum)
+        co = CoUltraHonk(d, TestCrs())
+        return co.prove(b, shares3[pid])
+
+    proofs = run_parties(party, 3)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert proofs[0] == want
+    assert verifier.verify(proofs[0], vk)

@@ -66,3 +66,53 @@ def test_rep3_poseidon_witness_extension():
     results = run_parties(party)
     # the KAT output (poseidon hash) — index 1 of the committed witness
     assert results[0] == results[1] == results[2] == want[1]
+
+
+def test_shamir_plonk_prove_verify():
+    """Shamir(n=3, t=1) co-PLONK on multiplier2 — the protocol-breadth leg
+    the round-1 suite lacked (BASELINE configs; shamir degree-reduce +
+    Vandermonde-preprocessed double shares on the prover's hot path)."""
+    from cocircom_tpu.mpc.shamir import ShamirDriver
+    from cocircom_tpu.snark.shared import split_witness_shamir
+
+    base = os.path.join(TV, "Plonk", "bn254", "multiplier2")
+    zk = read_plonk_zkey(open(os.path.join(base, "circuit.zkey"), "rb").read())
+    w = read_wtns(open(os.path.join(base, "witness.wtns"), "rb").read())
+    vk = parse_plonk_vk(open(os.path.join(base, "verification_key.json"), "rb").read())
+    pub = parse_public_inputs(open(os.path.join(base, "public.json"), "rb").read())
+    shares = split_witness_shamir(w, zk.n_public, 1, 3, seed=17)
+
+    def party(i, net):
+        d = ShamirDriver(curve_by_name("bn254"), net, threshold=1)
+        return CoPlonk(d).prove(zk, shares[i])
+
+    proofs = run_parties(party)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_plonk(vk, proofs[0], pub)
+
+
+def test_rep3_groth16_poseidon_prove_verify():
+    """REP3 co-Groth16 at poseidon size against the committed snarkjs
+    artifacts (the committed Plonk poseidon vectors have no zkey, so the
+    larger-domain MPC leg rides Groth16)."""
+    from cocircom_tpu.io.jsonio import parse_groth16_vk
+    from cocircom_tpu.io.zkey import read_groth16_zkey
+    from cocircom_tpu.snark.groth16 import CoGroth16
+    from cocircom_tpu.snark.groth16_verify import verify_groth16
+
+    base = os.path.join(TV, "Groth16", "bn254", "poseidon")
+    zk = read_groth16_zkey(open(os.path.join(base, "circuit.zkey"), "rb").read())
+    w = read_wtns(open(os.path.join(base, "witness.wtns"), "rb").read())
+    vk = parse_groth16_vk(
+        open(os.path.join(base, "verification_key.json"), "rb").read())
+    pub = parse_public_inputs(
+        open(os.path.join(base, "public.json"), "rb").read())
+    shares = split_witness_rep3(w, zk.n_public, seed=23)
+
+    def party(i, net):
+        d = Rep3Driver(curve_by_name("bn254"), net)
+        return CoGroth16(d).prove(zk, shares[i])
+
+    proofs = run_parties(party)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_groth16(vk, proofs[0], pub)
