@@ -45,7 +45,6 @@ from .sumcheck import (
     BATCHED_LENGTH,
     CONST_PROOF_SIZE_LOG_N,
     GateSeparator,
-    extend_evals,
 )
 from .transcript import Transcript
 from .zeromorph import F_NAMES, G_NAMES, G_SHIFT_NAMES
@@ -116,12 +115,8 @@ class CoUltraHonk:
     def _shift_sh(x):
         zero = jax.tree.map(
             lambda c: jnp.zeros(c.shape[:-1] + (1,), c.dtype), x)
-        import jax as _jax
-
-        shifted = _jax.tree.map(lambda c: c[..., 1:], x)
-        from ..mpc.driver import Driver  # noqa: F401 — concat via tree
-
-        return _jax.tree.map(
+        shifted = jax.tree.map(lambda c: c[..., 1:], x)
+        return jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=-1), shifted, zero)
 
     # -------------------------------------------------------------- prove

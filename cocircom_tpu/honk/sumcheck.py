@@ -23,7 +23,6 @@ import numpy as np
 
 from .builder import P
 from .relations import (
-    NUM_ALPHAS,
     SUBRELATION_IS_LINEARLY_INDEPENDENT,
     SUBRELATION_LENGTHS,
     evaluate_relations,

@@ -36,7 +36,13 @@ def _load(name):
     return circuits[0], witness
 
 
-@pytest.mark.parametrize("name", ["addition_multiplication"])
+import os as _os
+
+SLOW = _os.environ.get("COCIRCOM_SLOW_TESTS") == "1"
+CASES = ["addition_multiplication"] + (["poseidon"] if SLOW else [])
+
+
+@pytest.mark.parametrize("name", CASES)
 def test_co_honk_matches_plain(name):
     circuit, witness = _load(name)
     af = acir_to_format(circuit)
