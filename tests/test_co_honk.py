@@ -68,3 +68,33 @@ def test_co_honk_matches_plain(name):
     assert proofs[0] == proofs[1] == proofs[2]
     assert proofs[0] == want
     assert verifier.verify(proofs[0], vk)
+
+
+def test_co_honk_shamir_matches_plain():
+    """The co prover is driver-generic: Shamir(n=3, t=1) parties produce
+    the same proof bytes (reference: co-ultrahonk supports Shamir too,
+    lib.rs share_shamir)."""
+    from cocircom_tpu.mpc.shamir import ShamirDriver, share_field_vec_shamir
+
+    name = "addition_multiplication"
+    circuit, witness = _load(name)
+    af = acir_to_format(circuit)
+    crs = TestCrs()
+    b_plain = UltraCircuitBuilder(af, witness)
+    pk, vk = create_keys(b_plain, crs)
+    want = plain_prover.prove(pk)
+
+    varnum = af.varnum
+    vec = FR.to_mont(jnp.asarray(FR.to_limbs(witness[:varnum])))
+    shares3 = share_field_vec_shamir(FR, vec, 1, 3, seed=41)
+
+    def party(pid, net):
+        d = ShamirDriver(BN254, net, threshold=1)
+        b = UltraCircuitBuilder(acir_to_format(circuit), [0] * varnum)
+        co = CoUltraHonk(d, TestCrs())
+        return co.prove(b, shares3[pid])
+
+    proofs = run_parties(party, 3)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert proofs[0] == want
+    assert verifier.verify(proofs[0], vk)
