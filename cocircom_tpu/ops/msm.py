@@ -206,6 +206,11 @@ class MSM:
 
     # ------------------------------------------------ driver
 
+    # largest single-program point count: programs above this compile
+    # multi-hour through the remote-compile tunnel, while MSM additivity
+    # makes host-level chunking free (chunk results are single points)
+    CHUNK_LOG = 17
+
     def msm(self, points: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:
         """points: batched ProjPoint (coords (L, N)); scalars (Ls, N) 16-bit
         standard-form limbs. Returns a single ProjPoint."""
@@ -213,6 +218,16 @@ class MSM:
         if n == 0:
             return self.ops.identity(())
         nbits = nbits or 16 * scalar_limbs.shape[0]
+        chunk = 1 << self.CHUNK_LOG
+        if n > chunk:
+            acc = None
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                part = self.msm(
+                    jax.tree.map(lambda c: c[..., lo:hi], points),
+                    scalar_limbs[:, lo:hi], nbits)
+                acc = part if acc is None else jax.jit(self.ops.add)(acc, part)
+            return acc
         c = self._window_c(n)
         K = 1 << (c - 1)
         digits, order, sortedb, bucket_start, n_waves = self._prepare_jit(

@@ -69,3 +69,43 @@ def test_msm_g2_small():
     res = eng.msm(P, jnp.asarray(frf.to_limbs(scalars)))
     got = ops.decode_points(_exp(res))[0]
     assert got == as_ints(want)
+
+
+def test_msm_chunked_matches_unchunked(monkeypatch):
+    """Host-level chunking (n > CHUNK) must give the same point."""
+    import random
+
+    from cocircom_tpu.fields.params import BN254
+    from cocircom_tpu.ops.curve import g1_ops
+    from cocircom_tpu.ops.field import get_field
+    from cocircom_tpu.ops.msm import MSM, msm_engine
+
+    curve = BN254
+    ops = g1_ops(curve)
+    fr = get_field(curve.fr.p)
+    rng = random.Random(3)
+    n = 24
+    import jax.numpy as jnp
+
+    from cocircom_tpu.fields.ec_host import ec_add, ec_mul
+    from cocircom_tpu.pairing.tower import Tower
+
+    t = Tower(curve)
+    g = (t.fp(curve.g1_gen[0]), t.fp(curve.g1_gen[1]))
+    hostP = [ec_mul(g, rng.randrange(1, curve.fr.p)) for _ in range(n)]
+    scalars = [rng.randrange(curve.fr.p) for _ in range(n)]
+    want = None
+    for s, p in zip(scalars, hostP):
+        want = ec_add(want, ec_mul(p, s))
+
+    P = ops.encode_points([(p[0].v, p[1].v) for p in hostP])
+    sl = jnp.asarray(fr.to_limbs(scalars))
+    eng = msm_engine(ops, 4)
+    monkeypatch.setattr(MSM, "CHUNK_LOG", 3)  # force 3 chunks
+    res = eng.msm(P, sl)
+    x, y = ops.decode_points(
+        jax.tree.map(lambda c: c[..., None], res))[0]
+    assert (x, y) == (want[0].v, want[1].v)
+
+
+import jax  # noqa: E402  (used by the chunk test)
