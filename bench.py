@@ -11,8 +11,11 @@ Measurement notes for the axon-tunneled TPU:
     ON-DEVICE (jax.random / tiny constants) and timing is measured from
     dispatch to a 4-byte result fetch.
 
-Env knobs: COCIRCOM_BENCH_MSM_LOG (default 16), COCIRCOM_BENCH_NTT_LOG
-(default 20), COCIRCOM_BENCH_ITERS (default 2).
+Env knobs: COCIRCOM_BENCH_MSM_LOG (default 17), COCIRCOM_BENCH_NTT_LOG
+(default 22), COCIRCOM_BENCH_ITERS (default 2), COCIRCOM_BENCH_PROVE_LOG
+(off by default; 20 = the BASELINE north-star prover-core shape).
+Inputs above 2^17 route through the chunked MSM driver (cached
+fixed-shape programs).
 """
 
 from __future__ import annotations
@@ -58,8 +61,8 @@ def timed(fn, iters: int):
 
 
 def main():
-    msm_log = int(os.environ.get("COCIRCOM_BENCH_MSM_LOG", "15"))
-    ntt_log = int(os.environ.get("COCIRCOM_BENCH_NTT_LOG", "20"))
+    msm_log = int(os.environ.get("COCIRCOM_BENCH_MSM_LOG", "17"))
+    ntt_log = int(os.environ.get("COCIRCOM_BENCH_NTT_LOG", "22"))
     iters = int(os.environ.get("COCIRCOM_BENCH_ITERS", "2"))
 
     msm_c = int(os.environ.get("COCIRCOM_BENCH_MSM_C", "0")) or None
