@@ -163,7 +163,8 @@ def main():
         "metric": "msm_g1_points_per_sec_per_chip",
         "value": round(msm_pps, 1),
         "unit": "points/s/chip",
-        "vs_baseline": 1.0,
+        # ratio vs the round-1 headline (35,456 points/s at 2^15, v5e)
+        "vs_baseline": round(msm_pps / 35456.0, 2),
         "platform": platform,
         "device": dev,
         "msm_n": n,

@@ -66,6 +66,9 @@ class Rep3Lut:
             n = acc.a.shape[-1]
         onec1 = f._bcast_const(f._int_to_limbs_np(1), acc.a.shape[1:])
         result_bit = self.bin.xor_public(acc, onec1)
+        # scrub the AND-round mask bits above bit 0 from the components
+        # (value-neutral; bit_inject lifts raw component values)
+        result_bit = self.bin.and_public(result_bit, onec1)
         return self.d.index_share(self.bin.bit_inject(result_bit), 0)
 
     # ------------------------------------------------------------- maps

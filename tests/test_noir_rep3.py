@@ -73,3 +73,37 @@ def test_rep3_acvm_matches_kat(name):
     assert results[0] == results[1] == results[2]
     assert results[0] == want, (
         f"{name}: {len(results[0])} vs {len(want)} entries")
+
+
+def test_lut_contains_set():
+    """Secret set-membership (lut.rs contains_set parity): OR-tree over
+    batched equality bits, arithmetic 0/1 result."""
+    import jax.numpy as jnp
+
+    from cocircom_tpu.mpc.lut import Rep3Lut
+    from cocircom_tpu.ops.field import get_field
+
+    f = get_field(P, BN254.name + ".fr")
+    values = [5, 9, 13, 21, 30]
+    vec = f.to_mont(jnp.asarray(f.to_limbs(values)))
+    shares3 = share_field_vec(f, vec, seed=77)
+    hit = f.to_mont(jnp.asarray(f.to_limbs([13])))
+    miss = f.to_mont(jnp.asarray(f.to_limbs([14])))
+    hit3 = share_field_vec(f, hit, seed=78)
+    miss3 = share_field_vec(f, miss, seed=79)
+
+    def party(pid, net):
+        d = Rep3Driver(BN254, net)
+        lut = Rep3Lut(d)
+        s = lut.init_set(shares3[pid])
+        out = []
+        for needle in (hit3[pid], miss3[pid]):
+            nd = d.index_share(needle, 0)
+            r = lut.contains_set(nd, s)
+            out.append(r)
+        opened = d.open_many(d.stack_shares(out))
+        return [int(v) for v in
+                np.atleast_1d(f.from_limbs(f.from_mont(opened)))]
+
+    results = run_parties(party, 3)
+    assert results[0] == results[1] == results[2] == [1, 0]
