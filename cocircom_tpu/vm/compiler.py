@@ -21,6 +21,7 @@ import os
 from dataclasses import dataclass, field
 
 from ..fields.params import CurveParams
+from . import algebra as alg
 from .parser import parse_circom
 
 
@@ -54,6 +55,10 @@ class Component:
     inters: list = field(default_factory=list)
     subs: list = field(default_factory=list)  # [Component] instantiation order
     sig_by_name: dict = field(default_factory=dict)  # name -> (kind, flat list, dims)
+    # --- circom execution-order modelling (witness layout, see compile) ---
+    args: tuple = ()  # template arguments (node identity: (template, args))
+    n_input_sigs: int = 0
+    local_events: list = field(default_factory=list)  # ("create"|"input", Component)
 
 
 @dataclass
@@ -85,7 +90,11 @@ class Elaborator:
         self.ops = []  # (op, dst(Sig|Temp), [operands: int|Sig|Temp])
         self.n_temps = 0
         self.temp_deg: list[int] = []  # polynomial degree per temp (2 = nonlin)
+        self.temp_alg: list = []  # AExpr per temp (algebra.py) or None
         self.binding = {}  # uid -> value (Sig|Temp|int): aliased/eliminated
+        self.constraints: list[alg.Constraint] = []  # R1CS, generation order
+        self.pinned: set[int] = set()  # uids constrained non-algebraically
+        self.sig_kind = {}  # uid -> "output"|"input"|"intermediate"
         self._created = []  # every Component in instantiation order
         self.root_comp = None  # the main component (its signals keep slots)
         self.sig_owner = {}  # uid -> Component
@@ -110,27 +119,44 @@ class Elaborator:
             return 1
         return self.temp_deg[v.tid]
 
-    def new_temp(self, deg: int = 2) -> Temp:
+    def new_temp(self, deg: int = 2, ae=None) -> Temp:
         t = Temp(self.n_temps)
         self.n_temps += 1
         self.temp_deg.append(deg)
+        self.temp_alg.append(ae)
         return t
+
+    def alg_of(self, v):
+        """AExpr view of a value (constraint algebra; None = degree > 2 or
+        non-polynomial, only legal on the <-- path in vanilla circom)."""
+        if isinstance(v, int):
+            return alg.ae_const(v, self.p)
+        if isinstance(v, Sig):
+            return alg.ae_sig(v.uid)
+        return self.temp_alg[v.tid]
 
     LINEAR_OPS = {"add", "sub", "neg", "sett", "setc"}
 
     def emit(self, op, operands) -> Temp:
         operands = [self.resolve(o) for o in operands]
+        p = self.p
+        ae = None
         if op in ("add", "sub"):
             deg = max(self._deg(o) for o in operands)
+            f = alg.ae_add if op == "add" else alg.ae_sub
+            ae = f(self.alg_of(operands[0]), self.alg_of(operands[1]), p)
         elif op == "neg":
             deg = self._deg(operands[0])
+            ae = alg.ae_neg(self.alg_of(operands[0]), p)
         elif op == "mul":
             deg = min(2, sum(self._deg(o) for o in operands))
+            ae = alg.ae_mul(self.alg_of(operands[0]), self.alg_of(operands[1]), p)
         elif op == "div":
             deg = self._deg(operands[0]) if self._deg(operands[1]) == 0 else 2
+            ae = alg.ae_div(self.alg_of(operands[0]), self.alg_of(operands[1]), p)
         else:
             deg = 2
-        dst = self.new_temp(deg)
+        dst = self.new_temp(deg, ae)
         self.ops.append((op, dst, operands))
         return dst
 
@@ -295,13 +321,15 @@ class Elaborator:
 
     # ------------------------------------------------------- elaboration
 
-    def instantiate(self, tmpl_name: str, args: list) -> Component:
+    def instantiate(self, tmpl_name: str, args: list, parent=None) -> Component:
         params, body = self.templates[tmpl_name]
         if len(args) != len(params):
             raise ValueError(f"{tmpl_name} expects {len(params)} params")
-        comp = Component(template=tmpl_name)
+        comp = Component(template=tmpl_name, args=tuple(repr(a) for a in args))
         if self.root_comp is None:
             self.root_comp = comp
+        if parent is not None:
+            parent.local_events.append(("create", comp))
         self._created.append(comp)
         env = {pn: av for pn, av in zip(params, args)}
         env["__comp__"] = comp
@@ -368,8 +396,11 @@ class Elaborator:
             bucket = {"output": comp.outs, "input": comp.ins, "intermediate": comp.inters}[kind]
             bucket.append((name, flat, dims))
             comp.sig_by_name[name] = (kind, arr)
+            if kind == "input":
+                comp.n_input_sigs += len(flat)
             for s in flat:
                 self.sig_owner[s.uid] = comp
+                self.sig_kind[s.uid] = kind
             env[name] = arr
             if init is not None:
                 _op, expr = init
@@ -398,7 +429,13 @@ class Elaborator:
                 op = "="
             self.assign(lhs, op, val, env, comp)
         elif tag == "constraint":
-            pass  # === adds a constraint, no witness effect
+            # `===`: no witness effect, but the constraint participates in
+            # O2 simplification (e.g. BinSum's lin === lout eliminates a
+            # carry bit). Evaluate both sides algebraically.
+            _, le, re_ = st
+            a = self.eval(le, env, comp)
+            b = self.eval(re_, env, comp)
+            self._record_eq(a, b)
         elif tag == "for":
             _, init, cond, step, body = st
             scope = dict(env)
@@ -552,26 +589,42 @@ class Elaborator:
         if self._secret():
             val = self._merge_val(self._acc_cond(), val, self.sig_val.get(sig.uid, 0))
         self.sig_val[sig.uid] = val
-        is_main = self.sig_owner.get(sig.uid) is self.root_comp
-        # circom O2 linear substitution: a non-main signal CONSTRAINED (<==)
-        # to a linear (deg<=1) value is eliminated — it becomes a binding.
-        if constrained and not is_main and self._deg(val) <= 1:
-            self.binding[sig.uid] = val
-            return
+        owner = self.sig_owner.get(sig.uid)
         if (
-            constrained
-            and is_main
-            and isinstance(val, Sig)
-            and self.sig_owner.get(val.uid) is not self.root_comp
+            comp is not None
+            and owner is not None
+            and owner is not comp
+            and self.sig_kind.get(sig.uid) == "input"
         ):
-            # main <== subcomponent signal: the NON-main wire is eliminated
-            # (its producer writes straight into the main slot)
-            self.binding[val.uid] = sig
-            return
+            # wiring a subcomponent input: an execution event in the parent's
+            # body (circom activates the child at its LAST input assignment —
+            # this drives the witness block order, see compile_circom)
+            comp.local_events.append(("input", owner))
+        if constrained:
+            # `<==` / `===` emit one R1CS constraint: val - sig == 0. Values
+            # outside the degree<=2 algebra (comparisons on shares, secret-
+            # condition merges) pin the signal into the witness instead.
+            ae = alg.ae_sub(self.alg_of(val), alg.ae_sig(sig.uid), self.p)
+            if ae is not None:
+                self.constraints.append(alg.Constraint.from_ae(ae, self.p))
+            else:
+                self.pinned.add(sig.uid)
         if isinstance(val, int):
             self.ops.append(("setc", sig, [val % self.p]))
         else:
             self.ops.append(("sett", sig, [val]))
+
+    def _record_eq(self, a, b):
+        """Record a === b (elementwise over arrays)."""
+        if isinstance(a, list) or isinstance(b, list):
+            if not (isinstance(a, list) and isinstance(b, list)) or len(a) != len(b):
+                raise ValueError("=== shape mismatch")
+            for x, y in zip(a, b):
+                self._record_eq(x, y)
+            return
+        ae = alg.ae_sub(self.alg_of(self.resolve(a)), self.alg_of(self.resolve(b)), self.p)
+        if ae is not None:
+            self.constraints.append(alg.Constraint.from_ae(ae, self.p))
 
     def eval(self, e, env, comp):
         tag = e[0]
@@ -620,7 +673,7 @@ class Elaborator:
             name = e[1]
             args = [self.eval(a, env, comp) for a in e[2]]
             if name in self.templates:
-                return self.instantiate(name, args)
+                return self.instantiate(name, args, parent=comp)
             if name in self.functions:
                 return self.call_function(name, args)
             raise NameError(f"unknown callable {name}")
@@ -632,8 +685,16 @@ class Elaborator:
 
 
 def compile_circom(
-    src: str, curve: CurveParams, link: list[str] | None = None
+    src: str,
+    curve: CurveParams,
+    link: list[str] | None = None,
+    opt: int | None = None,
 ) -> CompiledCircuit:
+    """opt: simplification level (circom --O0/--O1/--O2); default --O2, the
+    reference compiler's SimplificationLevel::O2(usize::MAX)
+    (circom-mpc-compiler/src/lib.rs:56-58). Override with COCIRCOM_OPT."""
+    if opt is None:
+        opt = int(os.environ.get("COCIRCOM_OPT", "2"))
     link = link or []
     templates: dict = {}
     functions: dict = {}
@@ -671,13 +732,51 @@ def compile_circom(
     args = [el.eval(a, {}, None) for a in main_expr[2]]
     root = el.instantiate(main_expr[1], args)
 
-    # ---- final id assignment: root first, then every component in global
-    # instantiation order; within a component outputs/inputs/intermediates.
-    # Root inputs are ordered PUBLIC-FIRST: circom places public input
-    # signals directly after the outputs in the witness, so that the public
-    # part of the witness is the prefix [1, outputs, public inputs]
-    # (the layout SharedWitness/post_processing depends on,
-    # circom-mpc-vm/src/mpc_vm.rs:812-824). ----
+    import sys
+
+    sys.setrecursionlimit(1000000)
+
+    # ---- circom execution replay: COMPLETION order. circom executes a
+    # subcomponent when its LAST input is assigned (immediately, depth-
+    # first); a node's rank is when its body finishes (post-order), which
+    # differs from both declaration and activation order. The witness
+    # layout below depends on it. ----
+    act: dict[int, int] = {}  # id(comp) -> completion rank
+    started: set[int] = set()
+    need = {id(c): c.n_input_sigs for c in el._created}
+    counter = [0]
+
+    def execute(c: Component):
+        started.add(id(c))
+        for kind, k in c.local_events:
+            if kind == "input":
+                need[id(k)] -= 1
+            if need[id(k)] == 0 and id(k) not in started:
+                execute(k)
+        act[id(c)] = counter[0]
+        counter[0] += 1
+
+    execute(root)
+    for c in el._created:  # never-completed components: creation order
+        if id(c) not in act:
+            act[id(c)] = counter[0]
+            counter[0] += 1
+
+    # node identity: (template, args) — circom deduplicates equal template
+    # instances into one DAG node; a node's rank is its FIRST activation
+    node_rank: dict = {}
+    for c in el._created:
+        key = (c.template, c.args)
+        r = act[id(c)]
+        if key not in node_rank or r < node_rank[key]:
+            node_rank[key] = r
+
+    # ---- witness order: [1 | main: outs, PUBLIC ins, priv ins, inters |
+    # nodes by DESCENDING completion rank (main completes last -> its block
+    # is first), edges of a node in completion order, signals in declaration
+    # order]. Computed BEFORE simplification: the elimination choices are
+    # positional in this order. Validated byte-exact against the 60
+    # committed KAT witnesses. ----
     order: list[Sig] = []
 
     def visit_all(c: Component):
@@ -690,24 +789,56 @@ def compile_circom(
             for _name, flat, _dims in bucket:
                 order.extend(flat)
 
-    for c in el._created:
+    visit_all(root)
+    others = [c for c in el._created if c is not root]
+    others.sort(
+        key=lambda c: (-node_rank[(c.template, c.args)], act[id(c)])
+    )
+    for c in others:
         visit_all(c)
+    pos = {s.uid: i for i, s in enumerate(order)}
 
-    # slots: signals without a binding, in dfs order
+    # ---- O2 constraint simplification -> kept signal set ----
+    forbidden: set[int] = set()
+    for _n, flat, _d in root.outs:
+        forbidden.update(s.uid for s in flat)
+    for name, flat, _d in root.ins:
+        if name in publics:
+            forbidden.update(s.uid for s in flat)
+    if opt == 0:
+        kept = set(el.sig_owner.keys())
+    else:
+        kept_c, subs = alg.simplify_constraints(
+            el.constraints, forbidden, el.p, pos, level=opt
+        )
+        kept = kept_c | forbidden | {u for u in el.pinned if u not in subs}
+
     slot_of: dict[int, int] = {}
     next_slot = 1
     for s in order:
-        if s.uid not in el.binding and s.uid not in slot_of:
+        if s.uid in kept and s.uid not in slot_of:
             slot_of[s.uid] = next_slot
             next_slot += 1
     n_signals = next_slot - 1
+    n_vars = n_signals + 1
+
+    # eliminated signals still carry VM values (downstream ops read them):
+    # they live in the temp space instead of the witness
+    sig_temp: dict[int, int] = {}
 
     def conv_value(x):
         x = el.resolve(x)
         if isinstance(x, int):
             return ("c", x)
         if isinstance(x, Sig):
-            return ("w", slot_of[x.uid])
+            sl = slot_of.get(x.uid)
+            if sl is not None:
+                return ("w", sl)
+            t = sig_temp.get(x.uid)
+            if t is None:
+                t = el.n_temps + len(sig_temp)
+                sig_temp[x.uid] = t
+            return ("t", t)
         return ("t", x.tid)
 
     def slot(s: Sig) -> int:
@@ -716,13 +847,60 @@ def compile_circom(
             raise ValueError("main signal unexpectedly eliminated")
         return v[1]
 
-    # ---- tape with slots + toposort into levels ----
+    # ---- tape with slots, dead-op elimination, toposort into levels ----
     raw = []
     for op, dst, operands in el.ops:
         d = conv_value(dst)
         if d[0] == "c":
             continue  # write target folded away entirely
         raw.append((op, d, [conv_value(o) for o in operands]))
+
+    # liveness from witness slots (=== evaluation and eliminated chains
+    # leave dead temp ops behind; the MPC share path must not pay for them)
+    producers: dict = {}
+    for i, (_op, d, _ops_) in enumerate(raw):
+        producers.setdefault(d, []).append(i)
+    live: set[int] = set()
+    seen_d = {d for d in producers if d[0] == "w"}
+    work = list(seen_d)
+    while work:
+        d = work.pop()
+        for i in producers.get(d, ()):
+            if i in live:
+                continue
+            live.add(i)
+            for o in raw[i][2]:
+                if o[0] == "t" and o not in seen_d:
+                    seen_d.add(o)
+                    work.append(o)
+    raw = [r for i, r in enumerate(raw) if i in live]
+
+    # compact temp ids (inputs eliminated by O2 keep their temp homes)
+    input_refs: dict[str, list] = {}
+    for name, flat, _d in root.ins:
+        input_refs[name] = [conv_value(s) for s in flat]
+    used_t: set[int] = set()
+    for _op, d, ops_ in raw:
+        if d[0] == "t":
+            used_t.add(d[1])
+        for o in ops_:
+            if o[0] == "t":
+                used_t.add(o[1])
+    for refs in input_refs.values():
+        for r in refs:
+            if r[0] == "t":
+                used_t.add(r[1])
+    remap = {old: i for i, old in enumerate(sorted(used_t))}
+
+    def rconv(o):
+        return ("t", remap[o[1]]) if o[0] == "t" else o
+
+    raw = [(op, rconv(d), [rconv(o) for o in ops_]) for op, d, ops_ in raw]
+    input_slots = {
+        name: [r[1] if r[0] == "w" else n_vars + remap[r[1]] for r in refs]
+        for name, refs in input_refs.items()
+    }
+    n_temps = len(remap)
 
     # producers
     produced_by = {}
@@ -758,15 +936,26 @@ def compile_circom(
             out[name] = [slot(s) for s in flat]
         return out
 
-    return CompiledCircuit(
+    cc = CompiledCircuit(
         curve=curve,
         n_signals=n_signals,
         n_outputs=sum(len(f) for _n, f, _d in root.outs),
-        input_slots=slots_for(root.ins),
+        input_slots=input_slots,
         output_slots=slots_for(root.outs),
         public_names=publics,
         levels=levels,
-        n_temps=el.n_temps,
+        n_temps=n_temps,
     )
+    if os.environ.get("COCIRCOM_DEBUG_LAYOUT"):
+        cc._debug = {
+            "el": el,
+            "order": order,
+            "slot_of": slot_of,
+            "act": act,
+            "node_rank": node_rank,
+            "root": root,
+            "kept": kept,
+        }
+    return cc
 
 

@@ -141,18 +141,19 @@ class WitnessExtension:
         [1, signals...]."""
         c = self.c
         p = c.curve.fr.p
-        vals = [0] * (c.n_vars)
-        vals[0] = 1
-        temps = [0] * c.n_temps
-        self._bind_inputs(inputs, lambda s, v: vals.__setitem__(s, v % p))
+        # flat value space: [witness slots | temps] — input slots are flat
+        # indices (O2-eliminated inputs live in the temp range)
+        flat = [0] * (c.n_vars + c.n_temps)
+        flat[0] = 1
+        self._bind_inputs(inputs, lambda s, v: flat.__setitem__(s, v % p))
 
         def get(o):
             k, v = o
             if k == "c":
                 return v
             if k == "w":
-                return vals[v]
-            return temps[v]
+                return flat[v]
+            return flat[c.n_vars + v]
 
         for level in c.levels:
             for op, dst, ops_ in level:
@@ -163,10 +164,10 @@ class WitnessExtension:
                 else:
                     res = _host_op(op, [get(o) for o in ops_], p)
                 if dst[0] == "w":
-                    vals[dst[1]] = res
+                    flat[dst[1]] = res
                 else:
-                    temps[dst[1]] = res
-        return vals
+                    flat[c.n_vars + dst[1]] = res
+        return flat[: c.n_vars]
 
     def all_input_slots(self) -> list[int]:
         out = []
