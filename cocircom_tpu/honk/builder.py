@@ -316,7 +316,9 @@ class UltraCircuitBuilder:
         self.blocks["aux"].has_ram_rom = True
         self.num_gates = 0
         self.circuit_finalized = False
+        self.current_tag = DUMMY_TAG
         self.rom_arrays: list[dict] = []
+        self.ram_arrays: list[dict] = []
         self.lookup_tables: list[dict] = []
         self.memory_read_records: list[int] = []
         self.memory_write_records: list[int] = []
@@ -377,6 +379,23 @@ class UltraCircuitBuilder:
     def assert_equal_constant(self, a_idx: int, b: int):
         assert self.variables[a_idx] == b % P
         self.assert_equal(a_idx, self.put_constant_variable(b))
+
+    # ------------------------------------------------- generalized perm tags
+    # (bb ultra_circuit_builder: get_new_tag/create_tag/assign_tag — the tau
+    # pairs drive the multiset equality between memory records and their
+    # sorted duplicates via the id/sigma tag columns, proving_key.py:163-203)
+
+    def get_new_tag(self) -> int:
+        self.current_tag += 1
+        return self.current_tag
+
+    def create_tag(self, tag: int, tau_tag: int):
+        self.tau[tag] = tau_tag
+
+    def assign_tag(self, w_idx: int, tag: int):
+        real = self.real_variable_index[w_idx]
+        if self.real_variable_tags[real] == DUMMY_TAG:
+            self.real_variable_tags[real] = tag
 
     def _first_in_class(self, idx: int) -> int:
         while self.prev_var_index[idx] != FIRST_VARIABLE_IN_CLASS:
@@ -487,14 +506,188 @@ class UltraCircuitBuilder:
         return value_witness
 
     def _process_rom_arrays_finalize(self):
-        """builder.rs process_rom_arrays — reference todo!()s on non-empty;
-        we do too (the tested circuits' ROM reads already create gates)."""
         for arr in self.rom_arrays:
             self._process_one_rom_array(arr)
 
     def _process_one_rom_array(self, arr):
-        raise NotImplementedError(
-            "ROM consistency sorting (reference builder.rs:1773 todo!)")
+        """barretenberg UltraCircuitBuilder::process_ROM_array: append a
+        sorted duplicate of the record set (RomConsistencyCheck gates,
+        q_1=q_2=q_aux=1) tied to the originals by a generalized-permutation
+        tag pair, closed with a dummy row carrying index = max+1 so the
+        final monotonicity check is pinned. This goes BEYOND the reference,
+        which todo!()s here (co-noir/ultrahonk builder.rs:1773) — it makes
+        the aux adjacency subrelations r1/r2 binding (relations.py:231-233),
+        closing the ROM soundness gap both repos previously shared."""
+        if not arr["records"]:
+            return
+        read_tag = self.get_new_tag()
+        sorted_tag = self.get_new_tag()
+        self.create_tag(read_tag, sorted_tag)
+        self.create_tag(sorted_tag, read_tag)
+        records = sorted(arr["records"], key=lambda r: r["index"])
+        blk = self.blocks["aux"]
+        max_index = 0
+        for rec in records:
+            idx_w = self.add_variable(rec["index"])
+            v1_w = self.add_variable(self.get_variable(rec["value1"]))
+            v2_w = self.add_variable(self.get_variable(rec["value2"]))
+            rec_w = self.add_variable(0)
+            # AuxSelectors::RomConsistencyCheck
+            blk.push_selectors(q_1=1, q_2=1, q_aux=1)
+            blk.populate_wires(idx_w, v1_w, v2_w, rec_w)
+            self.memory_read_records.append(len(blk) - 1)
+            self.num_gates += 1
+            self.assign_tag(rec["record_witness"], read_tag)
+            self.assign_tag(rec_w, sorted_tag)
+            max_index = max(max_index, rec["index"])
+        # boundary row (no selectors): index = max+1 makes the last sorted
+        # row's index_delta exactly 1, so r1 vanishes and r2 binds the top
+        # of the sorted list (ultra_circuit_builder.cpp process_ROM_array)
+        max_w = self.add_variable(max_index + 1)
+        self._dummy_gate("aux", max_w, self.zero_idx, self.zero_idx,
+                         self.zero_idx)
+
+    # ----------------------------------------------------------------- RAM
+    # barretenberg read/write_RAM_array + process_RAM_array. The reference
+    # todo!()s its entire RAM path (builder.rs:1772-1788 + the RAM block
+    # constraint arm); implementing it makes the noir `write_access` KAT
+    # prove and verify.
+
+    def create_ram_array(self, size: int) -> int:
+        self.ram_arrays.append({
+            "state": [UNINITIALIZED_MEMORY_RECORD] * size,
+            "records": [],
+            "access_count": 0,
+        })
+        return len(self.ram_arrays) - 1
+
+    def _create_ram_gate(self, rec: dict):
+        rec["record_witness"] = self.add_variable(0)
+        blk = self.blocks["aux"]
+        # AuxSelectors::RamRead / RamWrite: w_4 = index*eta + ts*eta_2 +
+        # value*eta_3 + access_type, with q_c carrying the access type
+        # (relations.py memory_record_check) and the oink w_4 pass adding
+        # +1 at write rows (prover.py:95-97)
+        if rec["access"] == 0:
+            blk.push_selectors(q_1=1, q_m=1, q_aux=1)
+        else:
+            blk.push_selectors(q_1=1, q_m=1, q_c=1, q_aux=1)
+        blk.populate_wires(rec["index_witness"], rec["timestamp_witness"],
+                          rec["value_witness"], rec["record_witness"])
+        rec["gate_index"] = len(blk) - 1
+        if rec["access"] == 0:
+            self.memory_read_records.append(rec["gate_index"])
+        else:
+            self.memory_write_records.append(rec["gate_index"])
+        self.num_gates += 1
+
+    def init_ram_element(self, ram_id: int, index_value: int,
+                         value_witness: int):
+        index_witness = (self.zero_idx if index_value == 0
+                         else self.put_constant_variable(index_value))
+        self.write_ram_array(ram_id, index_witness, value_witness)
+
+    def read_ram_array(self, ram_id: int, index_witness: int) -> int:
+        arr = self.ram_arrays[ram_id]
+        index = 0 if self.has_dummy_witnesses else int(
+            self.get_variable(index_witness))
+        assert arr["state"][index] != UNINITIALIZED_MEMORY_RECORD
+        value = self.get_variable(arr["state"][index])
+        value_witness = self.add_variable(value)
+        ts = arr["access_count"]
+        arr["access_count"] += 1
+        rec = {"index_witness": index_witness,
+               "timestamp_witness": self.put_constant_variable(ts),
+               "value_witness": value_witness,
+               "access": 0, "index": index, "timestamp": ts}
+        self._create_ram_gate(rec)
+        arr["records"].append(rec)
+        return value_witness
+
+    def write_ram_array(self, ram_id: int, index_witness: int,
+                        value_witness: int):
+        arr = self.ram_arrays[ram_id]
+        index = 0 if self.has_dummy_witnesses else int(
+            self.get_variable(index_witness))
+        ts = arr["access_count"]
+        arr["access_count"] += 1
+        rec = {"index_witness": index_witness,
+               "timestamp_witness": self.put_constant_variable(ts),
+               "value_witness": value_witness,
+               "access": 1, "index": index, "timestamp": ts}
+        self._create_ram_gate(rec)
+        arr["records"].append(rec)
+        arr["state"][index] = value_witness
+
+    def _process_ram_arrays_finalize(self):
+        for arr in self.ram_arrays:
+            self._process_one_ram_array(arr)
+
+    def _process_one_ram_array(self, arr):
+        """barretenberg process_RAM_array: sorted duplicate of the access
+        trace (RamConsistencyCheck gates, q_arith=q_aux=1 — the arithmetic
+        relation is vacuous with all wire selectors zero), a tag pair for
+        the record multiset equality, a boundary row replicating the last
+        sorted record (keeps the final row's shifted access-boolean and
+        adjacency terms benign), timestamp-delta gates (q_1=q_4=q_aux=1)
+        and a final-index pin gate."""
+        if not arr["records"]:
+            return
+        access_tag = self.get_new_tag()
+        sorted_tag = self.get_new_tag()
+        self.create_tag(access_tag, sorted_tag)
+        self.create_tag(sorted_tag, access_tag)
+        records = sorted(arr["records"],
+                         key=lambda r: (r["index"], r["timestamp"]))
+        blk = self.blocks["aux"]
+        rows = []
+        for rec in records:
+            idx_w = self.add_variable(rec["index"])
+            ts_w = self.add_variable(rec["timestamp"])
+            val_w = self.add_variable(self.get_variable(rec["value_witness"]))
+            rec_w = self.add_variable(0)
+            blk.push_selectors(q_arith=1, q_aux=1)  # RamConsistencyCheck
+            blk.populate_wires(idx_w, ts_w, val_w, rec_w)
+            row = len(blk) - 1
+            if rec["access"] == 0:
+                self.memory_read_records.append(row)
+            else:
+                self.memory_write_records.append(row)
+            self.num_gates += 1
+            self.assign_tag(rec["record_witness"], access_tag)
+            self.assign_tag(rec_w, sorted_tag)
+            rows.append((idx_w, ts_w, val_w, rec_w, rec))
+        # boundary row: replicate the last sorted record so the final
+        # consistency row sees index_delta = 0, value_delta = 0 and a
+        # boolean shifted access type; registered in the memory records so
+        # its w_4 carries the same eta-combination
+        li, lt, lv, lr, lrec = rows[-1]
+        blk.push_selectors()
+        blk.populate_wires(li, lt, lv, lr)
+        if lrec["access"] == 0:
+            self.memory_read_records.append(len(blk) - 1)
+        else:
+            self.memory_write_records.append(len(blk) - 1)
+        self.num_gates += 1
+        # last sorted index must cover the whole array (every cell of an
+        # ACIR RAM block is initialized by MemoryInit)
+        self.create_big_add_gate(li, self.zero_idx, self.zero_idx,
+                                 self.zero_idx, 1, 0, 0, 0,
+                                 -(len(arr["state"]) - 1))
+        # timestamp-delta gates: for adjacent same-index accesses, w_3 holds
+        # ts_{i+1} - ts_i (AuxSelectors::RamTimestampCheck, consecutive rows)
+        for i in range(len(rows) - 1):
+            idx_w, ts_w, _v, _r, rec = rows[i]
+            nxt = rows[i + 1][4]
+            delta = (nxt["timestamp"] - rec["timestamp"]
+                     if nxt["index"] == rec["index"] else 0)
+            delta_w = self.add_variable(delta)
+            blk.push_selectors(q_1=1, q_4=1, q_aux=1)
+            blk.populate_wires(idx_w, ts_w, delta_w, self.zero_idx)
+            self.num_gates += 1
+        # final boundary row for the timestamp chain
+        fi, ft = rows[-1][0], rows[-1][1]
+        self._dummy_gate("aux", fi, ft, self.zero_idx, self.zero_idx)
 
     # ------------------------------------------------------------- plookup
 
@@ -604,9 +797,12 @@ class UltraCircuitBuilder:
 
     def finalize_circuit(self):
         if not self.circuit_finalized:
-            # non-native-field / rom / ram / range-list processing: the
-            # reference todo!()s all but nnf (builder.rs:1772-1788); rom
-            # arrays in the tested circuits create their gates at read time
+            # ROM/RAM consistency processing (the reference todo!()s these,
+            # builder.rs:1772-1788 — implemented here, see the process
+            # methods above). Range lists are not needed: ACIR range
+            # constraints arrive as explicit gates.
+            self._process_rom_arrays_finalize()
+            self._process_ram_arrays_finalize()
             self.circuit_finalized = True
 
     # ------------------------------------------------------------- sizing
@@ -641,8 +837,34 @@ class UltraCircuitBuilder:
         init = [self._poly_to_field_ct(pt) for pt in bc.init]
         if bc.type_ in ("CallData", "ReturnData", "ROM"):
             self._process_rom_operations(bc, init)
+        elif bc.type_ == "RAM":
+            self._process_ram_operations(bc, init)
         else:
-            raise NotImplementedError("RAM block constraints (reference todo)")
+            raise NotImplementedError(f"block type {bc.type_}")
+
+    def _process_ram_operations(self, bc: BlockConstraint, init: list):
+        """RamTable: init every cell (MemoryInit), then replay the access
+        trace as RAM read/write gates. The reference todo!()s this arm of
+        _create_block_constraints; implemented here so the noir
+        `write_access` KAT proves and verifies."""
+        ram_id = self.create_ram_array(len(init))
+
+        def as_witness(fct: FieldCT) -> int:
+            if fct.is_constant():
+                return self.put_constant_variable(fct.get_value(self))
+            return fct.normalize(self).idx
+
+        for i, e in enumerate(init):
+            self.init_ram_element(ram_id, i, as_witness(e))
+        for op in bc.trace:
+            index = self._poly_to_field_ct(op.index)
+            value = self._poly_to_field_ct(op.value)
+            index_w = as_witness(index)
+            if op.access_type == 0:
+                read_w = self.read_ram_array(ram_id, index_w)
+                value.assert_equal(FieldCT.from_witness_index(read_w), self)
+            else:
+                self.write_ram_array(ram_id, index_w, as_witness(value))
 
     def _poly_to_field_ct(self, pt: PolyTriple) -> FieldCT:
         assert pt.q_m == 0 and pt.q_r == 0 and pt.q_o == 0

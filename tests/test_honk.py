@@ -22,9 +22,13 @@ from cocircom_tpu.noir.acir import load_program_json, parse_witness_stack
 TV = "/root/reference/test_vectors/noir"
 pytestmark = pytest.mark.skipif(not os.path.isdir(TV), reason="no vectors")
 
-# write_access needs RAM block constraints (reference todo!,
-# builder.rs:520 BlockType::RAM)
-PROVABLE = ["addition_multiplication", "poseidon", "random_access", "slice"]
+# ALL 8 noir KATs prove+verify, including write_access (RAM blocks) — the
+# reference todo!()s its RAM arm (builder.rs:520 BlockType::RAM) and the
+# ROM/RAM consistency sorting (builder.rs:1772-1788); both are implemented
+# here (honk/builder.py process_ROM/RAM_array)
+PROVABLE = ["addition_multiplication", "poseidon", "poseidon2",
+            "poseidon_input2", "poseidon_stdlib", "random_access", "slice",
+            "write_access"]
 
 
 def _setup(name):
@@ -71,6 +75,26 @@ def test_wrong_witness_rejected():
         proof = prover.prove(pk)
     except AssertionError:
         return
+    assert not verifier.verify(proof, vk)
+
+
+def test_ram_memory_tamper_rejected():
+    """RAM consistency soundness: flip the value wire of a sorted RAM
+    consistency row after key construction — the aux relation (r3, value
+    consistency between adjacent same-index reads) must kill the proof.
+    This is the check the reference cannot run (its RAM path panics)."""
+    from cocircom_tpu.honk.proving_key import Q_ARITH, Q_AUX
+
+    pk, vk = _setup("write_access")
+    w_o = pk.witness[2]
+    # find a sorted RamConsistencyCheck row: q_arith=1 & q_aux=1
+    rows = [i for i in range(pk.circuit_size)
+            if pk.precomputed[Q_ARITH][i] == 1
+            and pk.precomputed[Q_AUX][i] == 1]
+    assert rows, "no RamConsistencyCheck rows found"
+    for r in rows:
+        w_o[r] = (w_o[r] + 1) % prover.P
+    proof = prover.prove(pk)
     assert not verifier.verify(proof, vk)
 
 
