@@ -161,6 +161,27 @@ def cmd_verify(args):
     sys.exit(0 if ok else 1)
 
 
+def cmd_setup(args):
+    """Groth16 trusted setup from an .r1cs (`snarkjs groth16 setup`
+    equivalent): writes a snarkjs-format .zkey plus verification_key.json.
+    Single-party setup — development keys; use a phase-2 ceremony for
+    production."""
+    from .io.jsonio import dump_groth16_vk
+    from .io.r1cs import read_r1cs
+    from .snark.setup import groth16_setup
+
+    r1cs = read_r1cs(open(args.r1cs, "rb").read())
+    seed = args.seed.encode() if args.seed else None
+    zkey_bytes, vk = groth16_setup(r1cs, seed=seed)
+    with open(args.zkey, "wb") as f:
+        f.write(zkey_bytes)
+    if args.vk:
+        with open(args.vk, "w") as f:
+            f.write(dump_groth16_vk(vk))
+    print(f"setup: {r1cs.n_constraints} constraints, {r1cs.n_wires} wires "
+          f"-> {args.zkey}")
+
+
 def cmd_translate_witness(args):
     """REP3 share -> Shamir(t=1) share (bridges/rep3_to_shamir.rs parity)."""
     from .io.shares_io import shared_witness_from_split, shared_witness_to_split
@@ -363,6 +384,14 @@ def main(argv=None):
     sp.add_argument("--vk", required=True)
     sp.add_argument("--public", required=True)
     sp.set_defaults(fn=cmd_verify)
+
+    sp = sub.add_parser(
+        "setup", help="Groth16 trusted setup: .r1cs -> .zkey (+ vk json)")
+    sp.add_argument("r1cs")
+    sp.add_argument("zkey")
+    sp.add_argument("--vk", help="also write verification_key.json here")
+    sp.add_argument("--seed", help="deterministic toxic waste (TESTS ONLY)")
+    sp.set_defaults(fn=cmd_setup)
 
     sp = sub.add_parser("translate-witness", help="rep3 share -> shamir share")
     sp.add_argument("--witness", required=True)

@@ -91,6 +91,23 @@ def parse_groth16_vk(data: str | bytes | dict):
     }
 
 
+def dump_groth16_vk(vk: dict) -> str:
+    """snarkjs verification_key.json format (inverse of parse_groth16_vk)."""
+    return json.dumps(
+        {
+            "protocol": "groth16",
+            "curve": vk["curve"].circom_name,
+            "nPublic": vk["n_public"],
+            "vk_alpha_1": g1_to_json(vk["alpha_1"]),
+            "vk_beta_2": g2_to_json(vk["beta_2"]),
+            "vk_gamma_2": g2_to_json(vk["gamma_2"]),
+            "vk_delta_2": g2_to_json(vk["delta_2"]),
+            "IC": [g1_to_json(p) for p in vk["ic"]],
+        },
+        indent=1,
+    )
+
+
 def parse_public_inputs(data: str | bytes) -> list[int]:
     return [int(s) for s in json.loads(data)]
 
