@@ -162,24 +162,28 @@ def cmd_verify(args):
 
 
 def cmd_setup(args):
-    """Groth16 trusted setup from an .r1cs (`snarkjs groth16 setup`
+    """Trusted setup from an .r1cs (`snarkjs {groth16,plonk} setup`
     equivalent): writes a snarkjs-format .zkey plus verification_key.json.
     Single-party setup — development keys; use a phase-2 ceremony for
     production."""
-    from .io.jsonio import dump_groth16_vk
     from .io.r1cs import read_r1cs
-    from .snark.setup import groth16_setup
 
     r1cs = read_r1cs(open(args.r1cs, "rb").read())
     seed = args.seed.encode() if args.seed else None
-    zkey_bytes, vk = groth16_setup(r1cs, seed=seed)
+    if args.proof_system == "groth16":
+        from .io.jsonio import dump_groth16_vk as dump_vk
+        from .snark.setup import groth16_setup as run_setup
+    else:
+        from .io.jsonio import dump_plonk_vk as dump_vk
+        from .snark.plonk_setup import plonk_setup as run_setup
+    zkey_bytes, vk = run_setup(r1cs, seed=seed)
     with open(args.zkey, "wb") as f:
         f.write(zkey_bytes)
     if args.vk:
         with open(args.vk, "w") as f:
-            f.write(dump_groth16_vk(vk))
-    print(f"setup: {r1cs.n_constraints} constraints, {r1cs.n_wires} wires "
-          f"-> {args.zkey}")
+            f.write(dump_vk(vk))
+    print(f"setup: {args.proof_system}, {r1cs.n_constraints} constraints, "
+          f"{r1cs.n_wires} wires -> {args.zkey}")
 
 
 def cmd_translate_witness(args):
@@ -386,7 +390,8 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_verify)
 
     sp = sub.add_parser(
-        "setup", help="Groth16 trusted setup: .r1cs -> .zkey (+ vk json)")
+        "setup", help="trusted setup: .r1cs -> .zkey (+ vk json)")
+    sp.add_argument("proof_system", choices=["groth16", "plonk"])
     sp.add_argument("r1cs")
     sp.add_argument("zkey")
     sp.add_argument("--vk", help="also write verification_key.json here")

@@ -140,6 +140,30 @@ def parse_plonk_vk(data: str | bytes | dict):
     }
 
 
+def dump_plonk_vk(vk: dict) -> str:
+    """snarkjs plonk verification_key.json (inverse of parse_plonk_vk)."""
+    return json.dumps(
+        {
+            "protocol": "plonk",
+            "curve": vk["curve"].circom_name,
+            "nPublic": vk["n_public"],
+            "power": vk["power"],
+            "k1": str(vk["k1"]),
+            "k2": str(vk["k2"]),
+            "Qm": g1_to_json(vk["qm"]),
+            "Ql": g1_to_json(vk["ql"]),
+            "Qr": g1_to_json(vk["qr"]),
+            "Qo": g1_to_json(vk["qo"]),
+            "Qc": g1_to_json(vk["qc"]),
+            "S1": g1_to_json(vk["s1"]),
+            "S2": g1_to_json(vk["s2"]),
+            "S3": g1_to_json(vk["s3"]),
+            "X_2": g2_to_json(vk["x_2"]),
+        },
+        indent=1,
+    )
+
+
 def parse_plonk_proof(data: str | bytes | dict):
     d = data if isinstance(data, dict) else json.loads(data)
     curve = curve_by_name(d["curve"])

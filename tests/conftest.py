@@ -67,6 +67,19 @@ except (ImportError, AttributeError):  # private API moved — tolerate
 
 REFERENCE = "/root/reference"
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_backend_state():
+    """Drop compiled executables between modules: long single-process runs
+    accumulate XLA:CPU JIT state until a late compile segfaults (observed
+    repeatedly in whatever module compiles last — test_sharded with the
+    current ordering; each module passes in isolation). Recompiles cost a
+    little wall time; an intermittently-red suite costs more."""
+    yield
+    jax.clear_caches()
+
 # serialize device compute across in-process party threads (see ComputeGate)
 from cocircom_tpu.mpc.net import ComputeGate  # noqa: E402
 
