@@ -273,6 +273,11 @@ class FieldCT:
     def get_value(self, builder):
         if self.is_constant():
             return self.add
+        m = builder.mpc
+        if m is not None and m.is_shared(self.idx):
+            from .co_builder import ShVal
+
+            return ShVal(m.affine(m.get(self.idx), self.mul, self.add))
         return (self.mul * builder.get_variable(self.idx) + self.add) % P
 
     def normalize(self, builder):
@@ -301,8 +306,13 @@ class FieldCT:
 # ---------------------------------------------------------------- builder
 
 class UltraCircuitBuilder:
-    def __init__(self, af: AcirFormat, witness: list[int]):
-        """witness: values for acir witnesses (may be shorter than varnum)."""
+    def __init__(self, af: AcirFormat, witness: list[int], mpc=None):
+        """witness: values for acir witnesses (may be shorter than varnum).
+
+        mpc: optional co_builder.MpcBuilderValues — variable values may
+        then live in MPC share space (ShVal); memory ops run obliviously
+        and the value-pinning quirk is skipped (see co_builder.py)."""
+        self.mpc = mpc
         self.variables: list[int] = []
         self.next_var_index: list[int] = []
         self.prev_var_index: list[int] = []
@@ -339,9 +349,13 @@ class UltraCircuitBuilder:
 
     # ----------------------------------------------------------- variables
 
-    def add_variable(self, value: int) -> int:
+    def add_variable(self, value) -> int:
         idx = len(self.variables)
-        self.variables.append(value % P)
+        if type(value).__name__ == "ShVal":  # co_builder.ShVal (share space)
+            self.variables.append(0)
+            self.mpc.register(idx, value.h)
+        else:
+            self.variables.append(value % P)
         self.real_variable_index.append(idx)
         self.next_var_index.append(REAL_VARIABLE)
         self.prev_var_index.append(FIRST_VARIABLE_IN_CLASS)
@@ -361,7 +375,9 @@ class UltraCircuitBuilder:
         return idx
 
     def assert_equal(self, a_idx: int, b_idx: int):
-        assert self.get_variable(a_idx) == self.get_variable(b_idx)
+        m = self.mpc
+        if m is None or not (m.is_shared(a_idx) or m.is_shared(b_idx)):
+            assert self.get_variable(a_idx) == self.get_variable(b_idx)
         a_real = self.real_variable_index[a_idx]
         b_real = self.real_variable_index[b_idx]
         if a_real == b_real:
@@ -377,7 +393,9 @@ class UltraCircuitBuilder:
             self.real_variable_tags[a_real] = tb
 
     def assert_equal_constant(self, a_idx: int, b: int):
-        assert self.variables[a_idx] == b % P
+        m = self.mpc
+        if m is None or not m.is_shared(a_idx):
+            assert self.variables[a_idx] == b % P
         self.assert_equal(a_idx, self.put_constant_variable(b))
 
     # ------------------------------------------------- generalized perm tags
@@ -494,8 +512,25 @@ class UltraCircuitBuilder:
         arr["records"].append(rec)
 
     def read_rom_array(self, rom_id: int, index_witness: int) -> int:
-        index = int(self.get_variable(index_witness))
         arr = self.rom_arrays[rom_id]
+        m = self.mpc
+        if m is not None and m.is_shared(index_witness):
+            # oblivious read: LUT over the table's value handles; the
+            # record keeps the index as a share handle for the oblivious
+            # sort in finalize
+            from .co_builder import ShVal
+
+            state_w = [s[0] for s in arr["state"]]
+            assert all(w != UNINITIALIZED_MEMORY_RECORD for w in state_w)
+            vh = m.rom_read(state_w, index_witness, self)
+            value_witness = self.add_variable(ShVal(vh))
+            rec = {"index_witness": index_witness, "value1": value_witness,
+                   "value2": self.zero_idx, "index": None,
+                   "index_handle": m.get(index_witness)}
+            self._create_rom_gate(rec)
+            arr["records"].append(rec)
+            return value_witness
+        index = int(self.get_variable(index_witness))
         assert arr["state"][index][0] != UNINITIALIZED_MEMORY_RECORD
         value = self.get_variable(arr["state"][index][0])
         value_witness = self.add_variable(value)
@@ -519,6 +554,9 @@ class UltraCircuitBuilder:
         the aux adjacency subrelations r1/r2 binding (relations.py:231-233),
         closing the ROM soundness gap both repos previously shared."""
         if not arr["records"]:
+            return
+        if any(rec["index"] is None for rec in arr["records"]):
+            self._process_one_rom_array_mpc(arr)
             return
         read_tag = self.get_new_tag()
         sorted_tag = self.get_new_tag()
@@ -544,6 +582,59 @@ class UltraCircuitBuilder:
         # row's index_delta exactly 1, so r1 vanishes and r2 binds the top
         # of the sorted list (ultra_circuit_builder.cpp process_ROM_array)
         max_w = self.add_variable(max_index + 1)
+        self._dummy_gate("aux", max_w, self.zero_idx, self.zero_idx,
+                         self.zero_idx)
+
+    def _process_one_rom_array_mpc(self, arr):
+        """Shared-index variant: the sorted duplicate comes from an
+        OBLIVIOUS bitonic sort over the records keyed by
+        index * R + creation_rank (distinct keys reproduce the plain
+        prover's stable sort exactly), gate/tag structure identical to the
+        plain path. Secret-data-independent structure: every party emits
+        the same gates. Beyond the reference, which cannot prove memory
+        circuits collaboratively at all."""
+        from .co_builder import ShVal
+
+        m = self.mpc
+        records = arr["records"]
+        R = len(records)
+        key_cols, idx_cols, v1_w, v2_w = [], [], [], []
+        for rank, rec in enumerate(records):
+            if rec["index"] is None:
+                key_cols.append(m.affine(rec["index_handle"], R, rank))
+                idx_cols.append(rec["index_handle"])
+            else:
+                key_cols.append(m.d.promote_public(
+                    m.f.encode([rec["index"] * R + rank])))
+                idx_cols.append(m.d.promote_public(
+                    m.f.encode([rec["index"]])))
+            v1_w.append(rec["value1"])
+            v2_w.append(rec["value2"])
+        keys = m.d.concat_shares(*key_cols)
+        idxs = m.d.concat_shares(*idx_cols)
+        v1 = m.value_vec(v1_w, self)
+        v2 = m.value_vec(v2_w, self)
+        s_idx, s_v1, s_v2 = m.sort_records(keys, [idxs, v1, v2])
+
+        read_tag = self.get_new_tag()
+        sorted_tag = self.get_new_tag()
+        self.create_tag(read_tag, sorted_tag)
+        self.create_tag(sorted_tag, read_tag)
+        blk = self.blocks["aux"]
+        for i, rec in enumerate(records):
+            idx_w = self.add_variable(ShVal(m.d.slice_share(s_idx, i, i + 1)))
+            v1w = self.add_variable(ShVal(m.d.slice_share(s_v1, i, i + 1)))
+            v2w = self.add_variable(ShVal(m.d.slice_share(s_v2, i, i + 1)))
+            rec_w = self.add_variable(0)
+            blk.push_selectors(q_1=1, q_2=1, q_aux=1)
+            blk.populate_wires(idx_w, v1w, v2w, rec_w)
+            self.memory_read_records.append(len(blk) - 1)
+            self.num_gates += 1
+            self.assign_tag(rec["record_witness"], read_tag)
+            self.assign_tag(rec_w, sorted_tag)
+        # all table cells are initialized (asserted at read time), so the
+        # plain path's max(index) is the public table size - 1
+        max_w = self.add_variable(len(arr["state"]))
         self._dummy_gate("aux", max_w, self.zero_idx, self.zero_idx,
                          self.zero_idx)
 
@@ -892,6 +983,14 @@ class UltraCircuitBuilder:
             value = self._poly_to_field_ct(op.value)
             index = self._poly_to_field_ct(op.index)
             assert index.mul != 0 and index.idx != FieldCT.IS_CONSTANT
+            if self.mpc is not None and self.mpc.is_shared(index.idx):
+                # provider mode: SKIP the reference's value-pinning quirk
+                # below — with a secret index it would copy the index value
+                # into a public constant (q_c selector), leaking it into
+                # the verification key (co_builder.py docstring)
+                idx_w = self.read_rom_array(rom_id, index.normalize(self).idx)
+                value.assert_equal(FieldCT.from_witness_index(idx_w), self)
+                continue
             w_value = index.get_value(self) if not self.has_dummy_witnesses else 0
             # reference quirk (WitnessCT::from_field, parse/types.rs:682-697):
             # adds a variable but returns a CONSTANT FieldCT

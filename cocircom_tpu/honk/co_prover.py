@@ -128,15 +128,22 @@ class CoUltraHonk:
         pk = create_proving_key(builder, self.crs)
         n = pk.circuit_size
         varnum = jax.tree.leaves(witness_share)[0].shape[-1]
-        if pk.memory_read_records or pk.memory_write_records:
-            raise NotImplementedError("co-UltraHonk shared memory records")
 
-        # shared variables vector: witness shares ++ promoted builder consts
-        # builder-added constants are public; the trailing slot is the
-        # ZERO sentinel the padding rows gather
+        # shared variables vector: witness shares ++ builder extras. Extras
+        # are public constants unless the builder ran in provider mode
+        # (co_builder.MpcBuilderValues — e.g. shared ROM records), in which
+        # case the registered share handles overwrite their slots. The
+        # trailing slot is the ZERO sentinel the padding rows gather.
         extra_vals = [builder.variables[i]
                       for i in range(varnum, len(builder.variables))] + [0]
         extra = d.promote_public(self._enc(extra_vals))
+        m = getattr(builder, "mpc", None)
+        if m is not None and m.extra:
+            order = sorted(m.extra)
+            cols = d.concat_shares(*(m.extra[i] for i in order))
+            slots = jnp.asarray(np.asarray(order, np.int64) - varnum)
+            extra = jax.tree.map(
+                lambda base, v: base.at[:, slots].set(v), extra, cols)
         vars_vec = d.concat(witness_share, extra)
 
         idx = wire_index_maps(builder, n)
@@ -162,9 +169,42 @@ class CoUltraHonk:
         ):
             t.send_point(label, pt)
 
-        # ---------------- eta round: w4 (no memory records) ----------------
+        # ---------------- eta round: w4 (+ memory records) ----------------
         eta_1, eta_2, eta_3 = t.get_challenges(["eta", "eta_two", "eta_three"])
         w_4 = wires_sh[3]
+        if pk.memory_read_records or pk.memory_write_records:
+            # shared twin of the plain oink fill (prover.py:92-97): at
+            # memory rows w_4 += w_l*eta + w_r*eta_2 + w_o*eta_3 (+1 for
+            # writes); etas are public, so this is LOCAL on shares
+            def _pc(v, n):
+                return f._bcast_const(
+                    f._int_to_limbs_np(v % f.p * f.R % f.p), (n,))
+
+            def _mfill(w4v, rows, add_one):
+                if not rows:
+                    return w4v
+                r = np.asarray(rows, np.int64)
+                combo = d.add(
+                    d.gather(w4v, r),
+                    d.add(
+                        d.mul_public(d.gather(wires_sh[0], r),
+                                     _pc(eta_1, len(rows))),
+                        d.add(
+                            d.mul_public(d.gather(wires_sh[1], r),
+                                         _pc(eta_2, len(rows))),
+                            d.mul_public(d.gather(wires_sh[2], r),
+                                         _pc(eta_3, len(rows))),
+                        ),
+                    ),
+                )
+                if add_one:
+                    combo = d.add_public(combo, _pc(1, len(rows)))
+                return jax.tree.map(
+                    lambda base, v: base.at[:, jnp.asarray(r)].set(v),
+                    w4v, combo)
+
+            w_4 = _mfill(w_4, pk.memory_read_records, 0)
+            w_4 = _mfill(w_4, pk.memory_write_records, 1)
         read_counts, read_tags = pk.witness[4], pk.witness[5]
         rc_pub = self._enc(read_counts)
         rt_pub = self._enc(read_tags)

@@ -55,8 +55,9 @@ class VerifyingKey:
 
 
 def create_proving_key(builder: UltraCircuitBuilder, crs) -> ProvingKey:
-    builder.add_gates_to_ensure_all_polys_are_non_zero()
-    builder.finalize_circuit()
+    if not builder.circuit_finalized:  # idempotent: pk then vk from one builder
+        builder.add_gates_to_ensure_all_polys_are_non_zero()
+        builder.finalize_circuit()
     n = builder.compute_dyadic_size()
 
     precomputed = [[0] * n for _ in range(NUM_PRECOMPUTED)]
