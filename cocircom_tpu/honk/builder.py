@@ -332,6 +332,9 @@ class UltraCircuitBuilder:
         self.lookup_tables: list[dict] = []
         self.memory_read_records: list[int] = []
         self.memory_write_records: list[int] = []
+        # provider mode: oblivious-sorted RAM rows whose access type is a
+        # SHARE (the sort permutation is secret); handles in mpc.mixed_access
+        self.memory_mixed_rows: list[int] = []
         self.has_dummy_witnesses = not witness
 
         # reference init: zero_idx starts at 0 (builder.rs:216) and is only
@@ -678,15 +681,49 @@ class UltraCircuitBuilder:
                          else self.put_constant_variable(index_value))
         self.write_ram_array(ram_id, index_witness, value_witness)
 
+    def _ram_shared_mode(self, arr, index_witness: int) -> bool:
+        m = self.mpc
+        if m is None:
+            return False
+        if arr.get("shared_state") is None and not m.is_shared(index_witness):
+            return False
+        if arr.get("shared_state") is None:
+            # first secret-index access: materialize the oblivious state
+            assert all(w != UNINITIALIZED_MEMORY_RECORD
+                       for w in arr["state"])
+            arr["shared_state"] = m.ram_state_init(arr["state"], self)
+        return True
+
+    def _ram_index_fields(self, index_witness: int):
+        m = self.mpc
+        if m is not None and m.is_shared(index_witness):
+            return None, m.get(index_witness)
+        return int(self.get_variable(index_witness)), None
+
     def read_ram_array(self, ram_id: int, index_witness: int) -> int:
         arr = self.ram_arrays[ram_id]
+        ts = arr["access_count"]
+        arr["access_count"] += 1
+        if self._ram_shared_mode(arr, index_witness):
+            from .co_builder import ShVal
+
+            m = self.mpc
+            vh = m.ram_read(arr["shared_state"], index_witness, self)
+            value_witness = self.add_variable(ShVal(vh))
+            index, handle = self._ram_index_fields(index_witness)
+            rec = {"index_witness": index_witness,
+                   "timestamp_witness": self.put_constant_variable(ts),
+                   "value_witness": value_witness,
+                   "access": 0, "index": index, "index_handle": handle,
+                   "timestamp": ts}
+            self._create_ram_gate(rec)
+            arr["records"].append(rec)
+            return value_witness
         index = 0 if self.has_dummy_witnesses else int(
             self.get_variable(index_witness))
         assert arr["state"][index] != UNINITIALIZED_MEMORY_RECORD
         value = self.get_variable(arr["state"][index])
         value_witness = self.add_variable(value)
-        ts = arr["access_count"]
-        arr["access_count"] += 1
         rec = {"index_witness": index_witness,
                "timestamp_witness": self.put_constant_variable(ts),
                "value_witness": value_witness,
@@ -698,10 +735,23 @@ class UltraCircuitBuilder:
     def write_ram_array(self, ram_id: int, index_witness: int,
                         value_witness: int):
         arr = self.ram_arrays[ram_id]
-        index = 0 if self.has_dummy_witnesses else int(
-            self.get_variable(index_witness))
         ts = arr["access_count"]
         arr["access_count"] += 1
+        if self._ram_shared_mode(arr, index_witness):
+            m = self.mpc
+            m.ram_write(arr["shared_state"], index_witness, value_witness,
+                        self)
+            index, handle = self._ram_index_fields(index_witness)
+            rec = {"index_witness": index_witness,
+                   "timestamp_witness": self.put_constant_variable(ts),
+                   "value_witness": value_witness,
+                   "access": 1, "index": index, "index_handle": handle,
+                   "timestamp": ts}
+            self._create_ram_gate(rec)
+            arr["records"].append(rec)
+            return
+        index = 0 if self.has_dummy_witnesses else int(
+            self.get_variable(index_witness))
         rec = {"index_witness": index_witness,
                "timestamp_witness": self.put_constant_variable(ts),
                "value_witness": value_witness,
@@ -723,6 +773,9 @@ class UltraCircuitBuilder:
         adjacency terms benign), timestamp-delta gates (q_1=q_4=q_aux=1)
         and a final-index pin gate."""
         if not arr["records"]:
+            return
+        if any(rec["index"] is None for rec in arr["records"]):
+            self._process_one_ram_array_mpc(arr)
             return
         access_tag = self.get_new_tag()
         sorted_tag = self.get_new_tag()
@@ -765,6 +818,100 @@ class UltraCircuitBuilder:
         self.create_big_add_gate(li, self.zero_idx, self.zero_idx,
                                  self.zero_idx, 1, 0, 0, 0,
                                  -(len(arr["state"]) - 1))
+        self._ram_timestamp_gates(rows)
+
+    def _process_one_ram_array_mpc(self, arr):
+        """Shared-index RAM finalize: oblivious bitonic sort of the access
+        trace keyed by index*T + timestamp (T = pow2 bound on timestamps;
+        timestamps are globally unique so keys are distinct and reproduce
+        the plain stable (index, timestamp) sort). The sorted rows' access
+        type is a SHARE (the permutation is secret), so these rows go to
+        memory_mixed_rows and the co-prover adds the access share into
+        w_4 instead of a public 0/1. Beyond the reference, which cannot
+        prove RAM circuits even in the plain prover."""
+        from .co_builder import ShVal
+
+        m = self.mpc
+        records = arr["records"]
+        R = len(records)
+        T = 1
+        while T < arr["access_count"]:
+            T <<= 1
+        key_cols, idx_cols, ts_cols, val_w, acc_cols = [], [], [], [], []
+        for rec in records:
+            ts = rec["timestamp"]
+            if rec["index"] is None:
+                key_cols.append(m.affine(rec["index_handle"], T, ts))
+                idx_cols.append(rec["index_handle"])
+            else:
+                key_cols.append(m.d.promote_public(
+                    m.f.encode([rec["index"] * T + ts])))
+                idx_cols.append(m.d.promote_public(
+                    m.f.encode([rec["index"]])))
+            ts_cols.append(m.d.promote_public(m.f.encode([ts])))
+            val_w.append(rec["value_witness"])
+            acc_cols.append(m.d.promote_public(m.f.encode([rec["access"]])))
+        d = m.d
+        keys = d.concat_shares(*key_cols)
+        idxs = d.concat_shares(*idx_cols)
+        tss = d.concat_shares(*ts_cols)
+        vals = m.value_vec(val_w, self)
+        accs = d.concat_shares(*acc_cols)
+        s_idx, s_ts, s_val, s_acc = m.sort_records(
+            keys, [idxs, tss, vals, accs])
+
+        access_tag = self.get_new_tag()
+        sorted_tag = self.get_new_tag()
+        self.create_tag(access_tag, sorted_tag)
+        self.create_tag(sorted_tag, access_tag)
+        blk = self.blocks["aux"]
+        rows_w = []
+        for i, rec in enumerate(records):
+            idx_w = self.add_variable(ShVal(d.slice_share(s_idx, i, i + 1)))
+            ts_w = self.add_variable(ShVal(d.slice_share(s_ts, i, i + 1)))
+            val_wit = self.add_variable(ShVal(d.slice_share(s_val, i, i + 1)))
+            rec_w = self.add_variable(0)
+            blk.push_selectors(q_arith=1, q_aux=1)  # RamConsistencyCheck
+            blk.populate_wires(idx_w, ts_w, val_wit, rec_w)
+            self.memory_mixed_rows.append(len(blk) - 1)
+            m.mixed_access.append(d.slice_share(s_acc, i, i + 1))
+            self.num_gates += 1
+            self.assign_tag(rec["record_witness"], access_tag)
+            self.assign_tag(rec_w, sorted_tag)
+            rows_w.append((idx_w, ts_w, val_wit, rec_w))
+        # boundary row: replicate the last sorted record (same handles)
+        li, lt, lv, lr = rows_w[-1]
+        blk.push_selectors()
+        blk.populate_wires(li, lt, lv, lr)
+        self.memory_mixed_rows.append(len(blk) - 1)
+        m.mixed_access.append(d.slice_share(s_acc, R - 1, R))
+        self.num_gates += 1
+        # every cell initialized (asserted at the shared-state switch):
+        # last sorted index must equal size - 1
+        self.create_big_add_gate(li, self.zero_idx, self.zero_idx,
+                                 self.zero_idx, 1, 0, 0, 0,
+                                 -(len(arr["state"]) - 1))
+        # timestamp-delta gates on the sorted handles: delta_i =
+        # [idx_i == idx_{i+1}] * (ts_{i+1} - ts_i) — one batched equality
+        # round + one batched multiply round
+        if R > 1:
+            eq = m.same_bits(d.slice_share(s_idx, 0, R - 1),
+                             d.slice_share(s_idx, 1, R))
+            diff = d.sub(d.slice_share(s_ts, 1, R),
+                         d.slice_share(s_ts, 0, R - 1))
+            deltas = d.mul_vec(eq, diff)
+            for i in range(R - 1):
+                idx_w, ts_w, _v, _r = rows_w[i]
+                delta_w = self.add_variable(
+                    ShVal(d.slice_share(deltas, i, i + 1)))
+                blk.push_selectors(q_1=1, q_4=1, q_aux=1)
+                blk.populate_wires(idx_w, ts_w, delta_w, self.zero_idx)
+                self.num_gates += 1
+        fi, ft = rows_w[-1][0], rows_w[-1][1]
+        self._dummy_gate("aux", fi, ft, self.zero_idx, self.zero_idx)
+
+    def _ram_timestamp_gates(self, rows):
+        blk = self.blocks["aux"]
         # timestamp-delta gates: for adjacent same-index accesses, w_3 holds
         # ts_{i+1} - ts_i (AuxSelectors::RamTimestampCheck, consecutive rows)
         for i in range(len(rows) - 1):

@@ -59,6 +59,9 @@ class MpcBuilderValues:
         self.w = witness_share
         self.varnum = jax.tree.leaves(witness_share)[0].shape[-1]
         self.extra: dict[int, object] = {}  # var idx -> (L,1) share handle
+        # access-type shares for oblivious-sorted RAM rows, in row order
+        # (builder.memory_mixed_rows); the co-prover adds them into w_4
+        self.mixed_access: list = []
         self.f = driver.fr
         self.plain = driver.protocol == "plain"
         self._lut = None
@@ -75,6 +78,13 @@ class MpcBuilderValues:
 
     def register(self, idx: int, handle):
         self.extra[idx] = _col(handle)
+
+    def handle_of(self, idx: int, builder):
+        """Share handle for any witness index (publics promoted)."""
+        if self.is_shared(idx):
+            return self.get(idx)
+        return self.d.promote_public(
+            self.f.encode([builder.get_variable(idx)]))
 
     def value_vec(self, widxs: list[int], builder):
         """Witness indices -> one (L, n) share vec (publics promoted)."""
@@ -127,6 +137,51 @@ class MpcBuilderValues:
 
             self._lut = Rep3Lut(self.d)
         return self._lut
+
+    # ------------------------------------------------------------- RAM ops
+    # The RAM state lives as a share map once any access index is secret;
+    # reads/writes are the LUT's constant-round oblivious ops.
+
+    def ram_state_init(self, state_widxs: list[int], builder):
+        vals = self.value_vec(state_widxs, builder)
+        if self.plain:
+            return {"vals": vals}
+        lut = self._get_lut()
+        return {"map": lut.init_map_public_keys(vals)}
+
+    def ram_read(self, state, index_widx: int, builder):
+        d = self.d
+        needle = self.handle_of(index_widx, builder)
+        if self.plain:
+            i = int(self.f.from_limbs(self.f.from_mont(
+                jax.tree.leaves(needle)[0]))[0])
+            return d.slice_share(state["vals"], i, i + 1)
+        lut = self._get_lut()
+        return _col(lut.read(d.index_share(needle, 0), state["map"]))
+
+    def ram_write(self, state, index_widx: int, value_widx: int, builder):
+        d = self.d
+        needle = self.handle_of(index_widx, builder)
+        value = self.value_vec([value_widx], builder)
+        if self.plain:
+            i = int(self.f.from_limbs(self.f.from_mont(
+                jax.tree.leaves(needle)[0]))[0])
+            state["vals"] = _scatter(state["vals"], np.asarray([i]), value)
+            return
+        lut = self._get_lut()
+        state["map"] = lut.write(d.index_share(needle, 0),
+                                 d.index_share(value, 0), state["map"])
+
+    def same_bits(self, a, b):
+        """Arithmetic 0/1 shares of a_i == b_i (elementwise vectors)."""
+        d = self.d
+        if self.plain:
+            da = self.f.from_limbs(self.f.from_mont(jax.tree.leaves(a)[0]))
+            db = self.f.from_limbs(self.f.from_mont(jax.tree.leaves(b)[0]))
+            return d.promote_public(self.f.encode(
+                [1 if int(x) == int(y) else 0 for x, y in zip(da, db)]))
+        bit = d.binary.is_zero(d.binary.a2b(d.sub(a, b)))
+        return d.binary.bit_inject(bit)
 
     # -------------------------------------------------------- oblivious sort
 

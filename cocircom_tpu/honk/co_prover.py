@@ -172,14 +172,14 @@ class CoUltraHonk:
         # ---------------- eta round: w4 (+ memory records) ----------------
         eta_1, eta_2, eta_3 = t.get_challenges(["eta", "eta_two", "eta_three"])
         w_4 = wires_sh[3]
+        def _pc(v, n):
+            return f._bcast_const(
+                f._int_to_limbs_np(v % f.p * f.R % f.p), (n,))
+
         if pk.memory_read_records or pk.memory_write_records:
             # shared twin of the plain oink fill (prover.py:92-97): at
             # memory rows w_4 += w_l*eta + w_r*eta_2 + w_o*eta_3 (+1 for
             # writes); etas are public, so this is LOCAL on shares
-            def _pc(v, n):
-                return f._bcast_const(
-                    f._int_to_limbs_np(v % f.p * f.R % f.p), (n,))
-
             def _mfill(w4v, rows, add_one):
                 if not rows:
                     return w4v
@@ -205,6 +205,31 @@ class CoUltraHonk:
 
             w_4 = _mfill(w_4, pk.memory_read_records, 0)
             w_4 = _mfill(w_4, pk.memory_write_records, 1)
+        mixed = getattr(pk, "memory_mixed_records", None)
+        if mixed:
+            # oblivious-sorted RAM rows: w_4 += eta-combo + [access] where
+            # the access type is a SHARE (secret sort permutation)
+            r = np.asarray(mixed, np.int64)
+            acc_vec = d.concat_shares(*m.mixed_access)
+            combo = d.add(
+                d.gather(w_4, r),
+                d.add(
+                    acc_vec,
+                    d.add(
+                        d.mul_public(d.gather(wires_sh[0], r),
+                                     _pc(eta_1, len(mixed))),
+                        d.add(
+                            d.mul_public(d.gather(wires_sh[1], r),
+                                         _pc(eta_2, len(mixed))),
+                            d.mul_public(d.gather(wires_sh[2], r),
+                                         _pc(eta_3, len(mixed))),
+                        ),
+                    ),
+                ),
+            )
+            w_4 = jax.tree.map(
+                lambda base, v: base.at[:, jnp.asarray(r)].set(v),
+                w_4, combo)
         read_counts, read_tags = pk.witness[4], pk.witness[5]
         rc_pub = self._enc(read_counts)
         rt_pub = self._enc(read_tags)

@@ -43,6 +43,8 @@ class ProvingKey:
     witness: list      # [w_l, w_r, w_o, w_4, read_counts, read_tags]
     memory_read_records: list = field(default_factory=list)
     memory_write_records: list = field(default_factory=list)
+    # provider mode: sorted-RAM rows whose access type is a share
+    memory_mixed_records: list = field(default_factory=list)
 
 
 @dataclass
@@ -136,6 +138,7 @@ def create_proving_key(builder: UltraCircuitBuilder, crs) -> ProvingKey:
     # ---- memory records ----
     memory_read_records = [r + ram_rom_offset for r in builder.memory_read_records]
     memory_write_records = [r + ram_rom_offset for r in builder.memory_write_records]
+    memory_mixed_records = [r + ram_rom_offset for r in builder.memory_mixed_rows]
 
     # ---- permutation argument (sigma/id) ----
     _compute_permutation_polys(precomputed, builder, copy_cycles, n,
@@ -156,6 +159,7 @@ def create_proving_key(builder: UltraCircuitBuilder, crs) -> ProvingKey:
         witness=[wires[0], wires[1], wires[2], wires[3], read_counts, read_tags],
         memory_read_records=memory_read_records,
         memory_write_records=memory_write_records,
+        memory_mixed_records=memory_mixed_records,
     )
 
 

@@ -187,14 +187,29 @@ def cmd_translate_witness(args):
     print(f"wrote {args.out}")
 
 
-def _build_builder(args):
+def _build_builder(args, driver=None, wshare=None):
+    """Builder in provider mode (honk/co_builder.py) so memory circuits
+    get the oblivious ROM/RAM gate structure. With no driver (create-vk),
+    a plain driver over zeros gives the IDENTICAL structure — the vk only
+    commits to value-independent precomputed polynomials."""
+    import jax.numpy as jnp
+
     from ..honk.builder import UltraCircuitBuilder, acir_to_format
+    from ..honk.co_builder import MpcBuilderValues
     from .acir import load_program_json
 
     circuits, _abi = load_program_json(args.circuit)
     c = circuits[0]
     af = acir_to_format(c)
-    return UltraCircuitBuilder(af, [0] * af.varnum), c
+    if driver is None:
+        from ..mpc.driver import plain_driver
+
+        driver = plain_driver(_curve())
+        f = driver.fr
+        wshare = driver.promote_public(
+            jnp.zeros((f.L, af.varnum), jnp.uint32))
+    m = MpcBuilderValues(driver, wshare)
+    return UltraCircuitBuilder(af, [0] * af.varnum, mpc=m), c
 
 
 def _crs(args):
@@ -213,14 +228,13 @@ def cmd_generate_proof(args):
     from ..honk.prover import proof_to_buffer
     from ..mpc.rep3 import Rep3Driver, Rep3FieldShare
 
-    builder, _c = _build_builder(args)
     share = _read_shared(args.witness, "noir-witness")
     net = _net(args)
     d = Rep3Driver(_curve(), net)
+    wshare = Rep3FieldShare(jnp.asarray(share["a"]), jnp.asarray(share["b"]))
+    builder, _c = _build_builder(args, driver=d, wshare=wshare)
     co = CoUltraHonk(d, _crs(args))
-    proof = co.prove(
-        builder, Rep3FieldShare(jnp.asarray(share["a"]),
-                                jnp.asarray(share["b"])))
+    proof = co.prove(builder, wshare)
     with open(args.out, "wb") as fh:
         fh.write(proof_to_buffer(proof))
     print(f"wrote {args.out}")

@@ -110,6 +110,45 @@ def test_co_honk_shared_rom_matches_plain():
     assert proofs[0] == want
 
 
+def test_co_honk_shared_ram_matches_plain():
+    """RAM under MPC: write_access has memory WRITES with secret indices.
+    The state is an oblivious share map (LUT read/write), the consistency
+    sort runs keyed by index*T + timestamp, and the sorted rows' access
+    types stay SECRET (memory_mixed_records: the co-prover adds the access
+    share into w_4). The reference cannot prove RAM circuits at all, even
+    single-party."""
+    from cocircom_tpu.honk.co_builder import MpcBuilderValues
+    from cocircom_tpu.mpc.driver import plain_driver
+
+    name = "write_access"
+    circuit, witness = _load(name)
+    af = acir_to_format(circuit)
+    varnum = af.varnum
+    crs = TestCrs()
+    vec = FR.to_mont(jnp.asarray(FR.to_limbs(witness[:varnum] +
+                                             [0] * (varnum - len(witness)))))
+
+    dp = plain_driver(BN254)
+    wplain = dp.promote_public(vec)
+    b_plain = UltraCircuitBuilder(acir_to_format(circuit), [0] * varnum,
+                                  mpc=MpcBuilderValues(dp, wplain))
+    want = CoUltraHonk(dp, crs).prove(b_plain, wplain)
+    _pk, vk = create_keys(b_plain, crs)
+    assert verifier.verify(want, vk)
+
+    shares3 = share_field_vec(FR, vec, seed=35)
+
+    def party(pid, net):
+        d = Rep3Driver(BN254, net)
+        b = UltraCircuitBuilder(acir_to_format(circuit), [0] * varnum,
+                                mpc=MpcBuilderValues(d, shares3[pid]))
+        return CoUltraHonk(d, TestCrs()).prove(b, shares3[pid])
+
+    proofs = run_parties(party, 3)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert proofs[0] == want
+
+
 def test_co_honk_shamir_matches_plain():
     """The co prover is driver-generic: Shamir(n=3, t=1) parties produce
     the same proof bytes (reference: co-ultrahonk supports Shamir too,
