@@ -1067,9 +1067,10 @@ class UltraCircuitBuilder:
         for bc in af.block_constraints:
             self._create_block_constraints(bc)
         for pt in af.assert_equalities:
-            # reference todo!()s here (builder.rs:700); supported for our
-            # own frontends
-            raise NotImplementedError("assert_equalities (reference parity)")
+            # ACIR assert-equal (detected in acir_to_format: q_l = -q_r,
+            # no constant): a pure copy constraint. The reference todo!()s
+            # here (builder.rs:700).
+            self.assert_equal(pt.a, pt.b)
 
     def _create_block_constraints(self, bc: BlockConstraint):
         init = [self._poly_to_field_ct(pt) for pt in bc.init]

@@ -67,7 +67,7 @@ class MSM:
         self.c = c
         self._prepare_jit = jax.jit(self._prepare, static_argnums=(1, 2))
         self._wave_jit = jax.jit(self._wave_step)
-        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=8)
+        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=7)
         self._reduce_jit = jax.jit(self._reduce)
         self._horner_jit = jax.jit(self._horner, static_argnums=1)
 
@@ -119,7 +119,7 @@ class MSM:
 
     # ------------------------------------------------ phase 2: one wave
 
-    def _wave_step(self, points, neg_points, digits, order, sortedb, bucket_start, w, acc):
+    def _wave_step(self, points, digits, order, sortedb, bucket_start, w, acc):
         ops = self.ops
         nw, Kp1 = bucket_start.shape
         n = sortedb.shape[1]
@@ -130,27 +130,28 @@ class MSM:
         valid = (pos < n) & (sb == bidx) & (bidx > 0)
         src = jnp.take_along_axis(order, safe, axis=1)
 
-        def gather_pts(pts):
-            return jax.tree.map(
-                lambda a: jnp.take(a, src.reshape(-1), axis=1).reshape(
-                    a.shape[:1] + src.shape
-                ),
-                pts,
-            )
-
+        # ONE gather of the point coordinates; negative digits flip y in
+        # registers (half the HBM gather traffic of a points/neg_points
+        # double gather, and no negated copy of the array materializes)
+        g = jax.tree.map(
+            lambda a: jnp.take(a, src.reshape(-1), axis=1).reshape(
+                a.shape[:1] + src.shape
+            ),
+            points,
+        )
         dsel = jnp.take_along_axis(digits, src, axis=1) < 0
-        ptsel = ops.select(dsel, gather_pts(neg_points), gather_pts(points))
+        ln = ops.lane
+        ptsel = ProjPoint(g.x, ln.select(dsel, ln.neg(g.y), g.y), g.z)
         added = ops.add(acc, ptsel)
         return ops.select(valid, added, acc)
 
-    def _wave_chunk(self, points, neg_points, digits, order, sortedb,
+    def _wave_chunk(self, points, digits, order, sortedb,
                     bucket_start, w0, acc, n_steps: int):
         """Run n_steps consecutive waves on-device (one dispatch)."""
 
         def body(i, a):
             return self._wave_step(
-                points, neg_points, digits, order, sortedb, bucket_start,
-                w0 + i, a,
+                points, digits, order, sortedb, bucket_start, w0 + i, a,
             )
 
         return jax.lax.fori_loop(0, n_steps, body, acc)
@@ -189,13 +190,12 @@ class MSM:
             scalar_limbs, nbits, c
         )
         nw = digits.shape[0]
-        neg_points = self.ops.neg(points)
         acc0 = self.ops.identity((nw, K + 1))
 
         def body(state):
             w, acc = state
             acc = self._wave_step(
-                points, neg_points, digits, order, sortedb, bucket_start, w, acc
+                points, digits, order, sortedb, bucket_start, w, acc
             )
             return w + 1, acc
 
@@ -236,12 +236,11 @@ class MSM:
         nw = digits.shape[0]
         n_waves = int(jax.device_get(n_waves))
         acc = self.ops.identity((nw, K + 1))
-        neg_points = jax.jit(self.ops.neg)(points)
         # always dispatch full chunks (out-of-range waves are no-ops via the
         # validity mask) so exactly ONE chunk program is ever compiled
         for w in range(0, n_waves, self.WAVE_CHUNK):
             acc = self._wave_chunk_jit(
-                points, neg_points, digits, order, sortedb, bucket_start,
+                points, digits, order, sortedb, bucket_start,
                 jnp.int32(w), acc, self.WAVE_CHUNK,
             )
         wsums = self._reduce_jit(acc)

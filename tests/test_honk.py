@@ -111,6 +111,25 @@ def test_proof_prefix_matches_committed_kat():
     assert proof[:n_prefix] == committed[:n_prefix]
 
 
+def test_assert_equalities_arm():
+    """ACIR assert-equal opcodes become copy constraints (the reference
+    todo!()s this arm, builder.rs:700): two witnesses tied by an
+    equality, circuit proves and a violated tie is caught."""
+    from cocircom_tpu.honk.builder import AcirFormat, PolyTriple
+
+    af = AcirFormat(varnum=4, public_inputs=[1])
+    # w1 * w2 = w3, and w3 == w1 (assert-equal)
+    af.poly_triple_constraints.append(
+        PolyTriple(a=1, b=2, c=3, q_m=1, q_o=prover.P - 1))
+    af.assert_equalities.append(PolyTriple(a=3, b=1, q_l=1, q_r=prover.P - 1))
+    builder = UltraCircuitBuilder(af, [0, 5, 1, 5])
+    pk, vk = create_keys(builder, TestCrs())
+    proof = prover.prove(pk)
+    assert verifier.verify(proof, vk)
+    with pytest.raises(AssertionError):
+        UltraCircuitBuilder(af, [0, 5, 7, 35])  # 35 != 5: tie violated
+
+
 def test_proof_buffer_roundtrip():
     pk, _vk = _setup("addition_multiplication")
     proof = prover.prove(pk)
