@@ -4,9 +4,14 @@ Algorithm (per c-bit signed window):
   1. signed digit recoding (buckets halved: |digit| <= 2^(c-1))
   2. sort point indices by bucket (XLA sort — lane friendly)
   3. conflict-free *wave* accumulation: wave w adds, for every bucket in
-     parallel, the rank-w point of that bucket's run into a (K+1)-wide
+     parallel, ranks [w*T, w*T+T) of that bucket's run into a (K+1, T)-wide
      accumulator — a batched complete EC add per wave, NO scatter with EC
-     semantics anywhere. Work = sum over waves of K adds ~= N adds/window.
+     semantics anywhere. Work = sum over waves of K*T adds ~= N adds/window.
+     The T-way rank split (default 8) keeps total adds constant while
+     cutting the wave count T-fold: each device program is ~T x larger
+     (better VPU occupancy for the Pallas mont_mul tiles) and the host
+     issues T x fewer dispatches through the tunnel. The T partial
+     accumulators fold with log2(T) batched adds before bucket reduction.
   4. bucket reduction sum_j j*B_j via a reversed associative scan (suffix
      sums) + tree sum — log K levels of batched adds.
   5. Horner across windows: c doublings + 1 add per window.
@@ -27,6 +32,7 @@ This mirrors the role of MSMProvider (/root/reference/mpc-core/src/traits.rs:561
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,9 +68,11 @@ def _signed_digits(scalar_limbs, nbits: int, c: int):
 
 
 class MSM:
-    def __init__(self, ops: CurveOps, c: int | None = None):
+    def __init__(self, ops: CurveOps, c: int | None = None, t: int | None = None):
         self.ops = ops
         self.c = c
+        # rank-split factor: ranks processed per bucket per wave
+        self.T = t or int(os.environ.get("COCIRCOM_MSM_T", "8"))
         self._prepare_jit = jax.jit(self._prepare, static_argnums=(1, 2))
         self._wave_jit = jax.jit(self._wave_step)
         self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=7)
@@ -120,26 +128,31 @@ class MSM:
     # ------------------------------------------------ phase 2: one wave
 
     def _wave_step(self, points, digits, order, sortedb, bucket_start, w, acc):
+        """Wave w: add ranks [w*T, w*T+T) of every bucket's run into the
+        (nw, K+1, T) accumulator."""
         ops = self.ops
+        T = self.T
         nw, Kp1 = bucket_start.shape
         n = sortedb.shape[1]
-        bidx = jnp.broadcast_to(jnp.arange(Kp1, dtype=jnp.int32), (nw, Kp1))
-        pos = bucket_start + w
-        safe = jnp.clip(pos, 0, n - 1)
-        sb = jnp.take_along_axis(sortedb, safe, axis=1)
+        bidx = jnp.arange(Kp1, dtype=jnp.int32)[None, :, None]  # (1, Kp1, 1)
+        ranks = jnp.arange(T, dtype=jnp.int32)[None, None, :]  # (1, 1, T)
+        pos = bucket_start[:, :, None] + (w * T + ranks)  # (nw, Kp1, T)
+        flat = pos.reshape(nw, Kp1 * T)
+        safe = jnp.clip(flat, 0, n - 1)
+        sb = jnp.take_along_axis(sortedb, safe, axis=1).reshape(nw, Kp1, T)
         valid = (pos < n) & (sb == bidx) & (bidx > 0)
-        src = jnp.take_along_axis(order, safe, axis=1)
+        src = jnp.take_along_axis(order, safe, axis=1)  # (nw, Kp1*T)
 
         # ONE gather of the point coordinates; negative digits flip y in
         # registers (half the HBM gather traffic of a points/neg_points
         # double gather, and no negated copy of the array materializes)
         g = jax.tree.map(
             lambda a: jnp.take(a, src.reshape(-1), axis=1).reshape(
-                a.shape[:1] + src.shape
+                a.shape[:1] + (nw, Kp1, T)
             ),
             points,
         )
-        dsel = jnp.take_along_axis(digits, src, axis=1) < 0
+        dsel = jnp.take_along_axis(digits, src, axis=1).reshape(nw, Kp1, T) < 0
         ln = ops.lane
         ptsel = ProjPoint(g.x, ln.select(dsel, ln.neg(g.y), g.y), g.z)
         added = ops.add(acc, ptsel)
@@ -159,8 +172,9 @@ class MSM:
     # ------------------------------------------------ phase 3: reduction
 
     def _reduce(self, acc):
-        """(nw, K+1) bucket accumulators -> per-window sums sum_j j*B_j."""
+        """(nw, K+1, T) bucket accumulators -> per-window sums sum_j j*B_j."""
         ops = self.ops
+        acc = ops.sum(acc, axis=3)  # fold the T rank-split partials
         tail = jax.tree.map(lambda a: a[:, :, 1:], acc)  # (L, nw, K)
         suffix = ops.suffix_sums(tail, axis=2)
         suffix2 = ops.suffix_sums(suffix, axis=2)
@@ -190,7 +204,8 @@ class MSM:
             scalar_limbs, nbits, c
         )
         nw = digits.shape[0]
-        acc0 = self.ops.identity((nw, K + 1))
+        acc0 = self.ops.identity((nw, K + 1, self.T))
+        n_super = -(-n_waves // self.T)
 
         def body(state):
             w, acc = state
@@ -200,7 +215,7 @@ class MSM:
             return w + 1, acc
 
         _, acc = jax.lax.while_loop(
-            lambda st: st[0] < n_waves, body, (jnp.int32(0), acc0)
+            lambda st: st[0] < n_super, body, (jnp.int32(0), acc0)
         )
         return self._horner(self._reduce(acc), c)
 
@@ -235,10 +250,11 @@ class MSM:
         )
         nw = digits.shape[0]
         n_waves = int(jax.device_get(n_waves))
-        acc = self.ops.identity((nw, K + 1))
+        n_super = -(-n_waves // self.T)
+        acc = self.ops.identity((nw, K + 1, self.T))
         # always dispatch full chunks (out-of-range waves are no-ops via the
         # validity mask) so exactly ONE chunk program is ever compiled
-        for w in range(0, n_waves, self.WAVE_CHUNK):
+        for w in range(0, n_super, self.WAVE_CHUNK):
             acc = self._wave_chunk_jit(
                 points, digits, order, sortedb, bucket_start,
                 jnp.int32(w), acc, self.WAVE_CHUNK,
@@ -248,5 +264,5 @@ class MSM:
 
 
 @functools.lru_cache(maxsize=None)
-def msm_engine(ops: CurveOps, c: int | None = None) -> MSM:
-    return MSM(ops, c)
+def msm_engine(ops: CurveOps, c: int | None = None, t: int | None = None) -> MSM:
+    return MSM(ops, c, t)

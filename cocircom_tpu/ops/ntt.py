@@ -68,6 +68,13 @@ class NTTEngine:
         n = 1 << logn
         tw = self._twiddles(logn, inverse)
         a = jnp.take(a, self._bitrev(logn), axis=1)
+        # trace-time backend split: on TPU each stage is ONE fused Pallas
+        # butterfly kernel (mont_mul + modular add/sub share a VMEM
+        # residency — the separate XLA add/sub carry chains cost ~40% of a
+        # stage); tests pin the CPU backend and keep the pure-XLA path
+        fused = f._pallas_ok(a, a)
+        if fused:
+            from .pallas_field import butterfly_pallas
         for s in range(1, logn + 1):
             m = 1 << s
             half = m // 2
@@ -76,10 +83,22 @@ class NTTEngine:
             even = v[:, :, :half]
             odd = v[:, :, half:]
             wj = tw[:, :: stride][:, :half]  # (L, half)
-            t = f.mont_mul(odd, wj[:, None, :])
-            a = jnp.concatenate([f.add(even, t), f.sub(even, t)], axis=2).reshape(
-                f.L, n
-            )
+            if fused:
+                wflat = jnp.broadcast_to(
+                    wj[:, None, :], (f.L, n // m, half)
+                ).reshape(f.L, n // 2)
+                oe, oo = butterfly_pallas(
+                    f, even.reshape(f.L, n // 2), odd.reshape(f.L, n // 2), wflat
+                )
+                a = jnp.concatenate(
+                    [oe.reshape(f.L, n // m, half), oo.reshape(f.L, n // m, half)],
+                    axis=2,
+                ).reshape(f.L, n)
+            else:
+                t = f.mont_mul(odd, wj[:, None, :])
+                a = jnp.concatenate([f.add(even, t), f.sub(even, t)], axis=2).reshape(
+                    f.L, n
+                )
         if inverse:
             a = f.mont_mul(a, self._n_inv(logn))
         return a

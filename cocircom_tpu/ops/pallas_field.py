@@ -22,6 +22,7 @@ arkworks MontBackend used by /root/reference/mpc-core — SURVEY.md L0):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -142,7 +143,107 @@ def _mont_mul_call(field, n, tile, interpret):
     )
 
 
-MAX_TILE = 2048
+def _add_mod(x, y, p_limbs, L):
+    """x, y (L, T) canonical < p -> (x + y) mod p. 2p < R so the final
+    carry is always zero (asserted at Field construction)."""
+    c = jnp.zeros_like(x[0:1])
+    outs = []
+    for i in range(L):
+        t = x[i : i + 1] + y[i : i + 1] + c
+        outs.append(t & MASK)
+        c = t >> W
+    return _cond_sub_p(jnp.concatenate(outs, 0), p_limbs, L)
+
+
+def _sub_mod(x, y, p_limbs, L):
+    """x, y (L, T) canonical < p -> (x - y) mod p."""
+    big = jnp.uint32(1 << W)
+    borrow = jnp.zeros_like(x[0:1])
+    outs = []
+    for i in range(L):
+        t = x[i : i + 1] + big - borrow - y[i : i + 1]
+        outs.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> W)
+    d = jnp.concatenate(outs, 0)
+    c = jnp.zeros_like(x[0:1])
+    outs2 = []
+    for i in range(L):
+        t = d[i : i + 1] + jnp.uint32(int(p_limbs[i])) + c
+        outs2.append(t & MASK)
+        c = t >> W
+    dp = jnp.concatenate(outs2, 0)
+    return jnp.where(borrow.astype(bool), dp, d)
+
+
+def _make_butterfly_kernel(L, p_limbs, nprime_limbs):
+    """even, odd, w -> (even + odd*w, even - odd*w): one NTT butterfly
+    stage entirely in VMEM. Fusing the two modular add/sub passes into the
+    Montgomery multiply saves two kernel launches and four HBM round trips
+    of the stage arrays per NTT stage (the add/sub carry chains cost ~40%
+    of a stage on the XLA path, docs/TPU_NOTES.md)."""
+    p_limbs = [int(v) for v in p_limbs]
+    nprime_limbs = [int(v) for v in nprime_limbs]
+
+    def kernel(e_ref, o_ref, w_ref, oe_ref, oo_ref):
+        e = e_ref[:]
+        o = o_ref[:]
+        w = w_ref[:]
+        wide = _mul_cols(o, w, L, 2 * L)
+        tc = _carry(wide, 2 * L)
+        q = _carry(_mul_cols(tc[:L], nprime_limbs, L, L), L)
+        s = tc + _mul_cols(q, p_limbs, L, 2 * L)
+        sc = _carry(s, 2 * L)
+        t = _cond_sub_p(sc[L:], p_limbs, L)
+        oe_ref[:] = _add_mod(e, t, p_limbs, L)
+        oo_ref[:] = _sub_mod(e, t, p_limbs, L)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _butterfly_call(field, n, tile, interpret):
+    L = field.L
+    kernel = _make_butterfly_kernel(L, field.p_limbs, field.nprime_limbs)
+    grid = n // tile
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape),
+        grid=(grid,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+        if not interpret
+        else None,
+    )
+
+
+def butterfly_pallas(field, even, odd, w, interpret: bool = False):
+    """(L, N) canonical Montgomery triples -> (even + odd*w, even - odd*w)."""
+    L = field.L
+    n = even.shape[1]
+    if n >= MAX_TILE:
+        tile = MAX_TILE
+    else:
+        tile = max(128, -(-n // 128) * 128)
+    pad = (-n) % tile
+    if pad:
+        even = jnp.pad(even, ((0, 0), (0, pad)))
+        odd = jnp.pad(odd, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    oe, oo = _butterfly_call(field, n + pad, tile, interpret)(even, odd, w)
+    if pad:
+        oe, oo = oe[:, :n], oo[:, :n]
+    return oe, oo
+
+
+# tile width (lanes per grid step): 2048 measured best on v5e among
+# {1024, 2048, 8192} (scripts/probe_mont_mul.py); env knob for re-probing
+MAX_TILE = int(os.environ.get("COCIRCOM_PALLAS_TILE", "2048"))
 
 
 def mont_mul_pallas(field, a, b, interpret: bool = False):

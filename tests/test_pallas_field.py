@@ -42,3 +42,27 @@ def test_pallas_mont_mul_edge_and_broadcast():
     assert bool(
         jnp.all(f.mont_mul(a3, b1) == mont_mul_pallas(f, a3, b1, interpret=True))
     )
+
+
+def test_pallas_butterfly_matches_xla():
+    """Fused NTT butterfly (even +/- odd*w) vs the separate XLA ops."""
+    from cocircom_tpu.ops.pallas_field import butterfly_pallas
+
+    f = get_field(BN254.fr.p, "bn254.fr")
+    rng = np.random.default_rng(7)
+    n = 300
+    ev = [int.from_bytes(rng.bytes(40), "little") % f.p for _ in range(n)]
+    od = [int.from_bytes(rng.bytes(40), "little") % f.p for _ in range(n)]
+    tw = [int.from_bytes(rng.bytes(40), "little") % f.p for _ in range(n)]
+    # edge values: identity twiddle, zero operands, p-1 everywhere
+    ev[:4] = [0, f.p - 1, 1, f.p - 1]
+    od[:4] = [f.p - 1, 0, f.p - 1, f.p - 1]
+    tw[:4] = [1, 1, 0, f.p - 1]
+    e = jnp.asarray(f.to_limbs(ev))
+    o = jnp.asarray(f.to_limbs(od))
+    w = jnp.asarray(f.to_limbs(tw))
+    t = f.mont_mul(o, w)
+    ref_e, ref_o = f.add(e, t), f.sub(e, t)
+    got_e, got_o = butterfly_pallas(f, e, o, w, interpret=True)
+    assert bool(jnp.all(ref_e == got_e))
+    assert bool(jnp.all(ref_o == got_o))
