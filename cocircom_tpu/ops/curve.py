@@ -224,8 +224,14 @@ class CurveOps:
 
         The 12 field muls are regrouped into 3 *stacked* multiply waves
         (independent products batched along one axis into a single mont_mul)
-        — minimal XLA graph, maximal lane occupancy."""
+        — minimal XLA graph, maximal lane occupancy. On the TPU backend the
+        whole formula runs as ONE fused Pallas kernel instead
+        (ops/pallas_curve.py): ~9 coord-sized HBM tensors per add vs ~85."""
         ln = self.lane
+        if isinstance(ln, FqLane) and ln.f._pallas_ok(p.x, q.x):
+            from .pallas_curve import ec_add_pallas
+
+            return ec_add_pallas(self, p, q)
         batch = jnp.broadcast_shapes(ln.batch_shape(p.x), ln.batch_shape(q.x))
         X1, Y1, Z1 = (ln.broadcast_to(c, batch) for c in p)
         X2, Y2, Z2 = (ln.broadcast_to(c, batch) for c in q)

@@ -154,6 +154,13 @@ class MSM:
         )
         dsel = jnp.take_along_axis(digits, src, axis=1).reshape(nw, Kp1, T) < 0
         ln = ops.lane
+        from .curve import FqLane
+
+        if isinstance(ln, FqLane) and ln.f._pallas_ok(acc.x, acc.x):
+            # fused kernel: add + y-negation + validity select in one pass
+            from .pallas_curve import ec_wave_add_pallas
+
+            return ec_wave_add_pallas(ops, acc, g, dsel, valid)
         ptsel = ProjPoint(g.x, ln.select(dsel, ln.neg(g.y), g.y), g.z)
         added = ops.add(acc, ptsel)
         return ops.select(valid, added, acc)

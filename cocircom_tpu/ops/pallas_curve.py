@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fused complete EC point addition (a=0 curves).
+
+The MSM wave loop (ops/msm.py) and every point-reduction path issue EC adds
+on wide batches. The generic CurveOps.add composes 3 stacked Pallas
+mont_muls with ~30 XLA elementwise ops in between, so one batched add makes
+~25 HBM round trips of coordinate-sized tensors. This kernel runs the WHOLE
+Renes-Costello-Batina Algorithm 7 (complete, a=0; same formula as
+CurveOps.add — eprint 2015/1060) inside one Pallas program: 14 Montgomery
+multiplies + all modular add/sub chains on VMEM-resident (L, tile) blocks.
+HBM traffic drops to reading 6 coords + writing 3 (~9 tensors vs ~85).
+
+Two variants:
+  * ec_add_pallas(ops, p, q)          — drop-in for CurveOps.add on (L, N)
+  * ec_wave_add_pallas(ops, acc, pt, neg, valid)
+        — the MSM wave update: q.y is negated where `neg`, and lanes where
+          NOT `valid` pass `acc` through unchanged; folds the two selects
+          of MSM._wave_step into the same kernel.
+
+Share-local like everything in ops/ (MSMProvider parity:
+/root/reference/mpc-core/src/traits.rs:561) — the same kernel serves
+Plain/REP3/Shamir provers, which run it per share component.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .curve import ProjPoint
+from .pallas_field import MAX_TILE, _add_mod, _mont_core, _sub_mod
+
+
+def _ec_add_core(P, Q, L, p_limbs, np_limbs, b3_limbs, ks):
+    """RCB16 Algorithm 7 on (L, T) canonical Montgomery limb blocks."""
+
+    def mul(a, b):
+        return _mont_core(a, b, L, p_limbs, np_limbs, ks)
+
+    def mul_b3(a):
+        # constant operand -> scalar-literal multiplies (no captured arrays)
+        return _mont_core(a, b3_limbs, L, p_limbs, np_limbs, ks)
+
+    def add(x, y):
+        return _add_mod(x, y, p_limbs, L)
+
+    def sub(x, y):
+        return _sub_mod(x, y, p_limbs, L)
+
+    x1, y1, z1 = P
+    x2, y2, z2 = Q
+    m_xx = mul(x1, x2)
+    m_yy = mul(y1, y2)
+    m_zz = mul(z1, z2)
+    t3 = sub(sub(mul(add(x1, y1), add(x2, y2)), m_xx), m_yy)  # X1Y2+X2Y1
+    t4 = sub(sub(mul(add(y1, z1), add(y2, z2)), m_yy), m_zz)  # Y1Z2+Y2Z1
+    xz = sub(sub(mul(add(x1, z1), add(x2, z2)), m_xx), m_zz)  # X1Z2+X2Z1
+    t0 = add(add(m_xx, m_xx), m_xx)  # 3 X1X2
+    t2 = mul_b3(m_zz)  # b3 Z1Z2
+    z3p = add(m_yy, t2)
+    t1 = sub(m_yy, t2)
+    y3 = mul_b3(xz)  # b3 (X1Z2+X2Z1)
+    X3 = sub(mul(t3, t1), mul(t4, y3))
+    Y3 = add(mul(t1, z3p), mul(y3, t0))
+    Z3 = add(mul(z3p, t4), mul(t0, t3))
+    return X3, Y3, Z3
+
+
+def _make_ec_add_kernel(L, p_limbs, np_limbs, b3_limbs, ks):
+    p_limbs = [int(v) for v in p_limbs]
+    np_limbs = [int(v) for v in np_limbs]
+    b3_limbs = [int(v) for v in b3_limbs]
+
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        X3, Y3, Z3 = _ec_add_core(
+            (x1[:], y1[:], z1[:]), (x2[:], y2[:], z2[:]),
+            L, p_limbs, np_limbs, b3_limbs, ks,
+        )
+        ox[:] = X3
+        oy[:] = Y3
+        oz[:] = Z3
+
+    return kernel
+
+
+def _make_ec_wave_kernel(L, p_limbs, np_limbs, b3_limbs, ks):
+    p_limbs = [int(v) for v in p_limbs]
+    np_limbs = [int(v) for v in np_limbs]
+    b3_limbs = [int(v) for v in b3_limbs]
+
+    def kernel(x1, y1, z1, x2, y2, z2, neg, valid, ox, oy, oz):
+        a = (x1[:], y1[:], z1[:])
+        zero = jnp.zeros_like(x2[:])
+        y2n = jnp.where(
+            neg[:] != 0, _sub_mod(zero, y2[:], p_limbs, L), y2[:]
+        )
+        X3, Y3, Z3 = _ec_add_core(
+            a, (x2[:], y2n, z2[:]), L, p_limbs, np_limbs, b3_limbs, ks,
+        )
+        keep = valid[:] != 0
+        ox[:] = jnp.where(keep, X3, a[0])
+        oy[:] = jnp.where(keep, Y3, a[1])
+        oz[:] = jnp.where(keep, Z3, a[2])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_add_call(field, b3_limbs, n, tile, interpret, ks):
+    L = field.L
+    kernel = _make_ec_add_kernel(L, field.p_limbs, field.nprime_limbs, b3_limbs, ks)
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(n // tile,),
+        in_specs=[spec] * 6,
+        out_specs=(spec, spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_wave_call(field, b3_limbs, n, tile, interpret, ks):
+    L = field.L
+    kernel = _make_ec_wave_kernel(L, field.p_limbs, field.nprime_limbs, b3_limbs, ks)
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(n // tile,),
+        in_specs=[spec] * 6 + [mspec, mspec],
+        out_specs=(spec, spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None,
+    )
+
+
+def _tile_pad(n):
+    if n >= MAX_TILE:
+        return MAX_TILE, (-n) % MAX_TILE
+    tile = max(128, -(-n // 128) * 128)
+    return tile, (-n) % tile
+
+
+def _flatten(coords, L):
+    batch = coords[0].shape[1:]
+    n = 1
+    for d in batch:
+        n *= d
+    return [c.reshape(L, n) for c in coords], batch, n
+
+
+def ec_add_pallas(ops, p: ProjPoint, q: ProjPoint, interpret: bool = False) -> ProjPoint:
+    """Fused complete add on batched ProjPoints with (L, *batch) coords."""
+    f = ops.lane.f
+    L = f.L
+    batch = jnp.broadcast_shapes(
+        ops.lane.batch_shape(p.x), ops.lane.batch_shape(q.x)
+    )
+    coords = [jnp.broadcast_to(c, (L,) + batch) for c in (*p, *q)]
+    flat, _, n = _flatten(coords, L)
+    tile, pad = _tile_pad(n)
+    if pad:
+        flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
+    b3 = _b3_limbs(ops)
+    from . import pallas_field
+
+    outs = _ec_add_call(f, b3, n + pad, tile, interpret, pallas_field.USE_KS)(*flat)
+    if pad:
+        outs = [o[:, :n] for o in outs]
+    return ProjPoint(*(o.reshape((L,) + batch) for o in outs))
+
+
+def ec_wave_add_pallas(
+    ops, acc: ProjPoint, pt: ProjPoint, neg, valid, interpret: bool = False
+) -> ProjPoint:
+    """MSM wave update: acc <- valid ? acc + (neg ? -pt : pt) : acc.
+
+    neg/valid: bool arrays over the batch shape."""
+    f = ops.lane.f
+    L = f.L
+    batch = ops.lane.batch_shape(acc.x)
+    coords = [jnp.broadcast_to(c, (L,) + batch) for c in (*acc, *pt)]
+    flat, _, n = _flatten(coords, L)
+    masks = [
+        m.astype(jnp.uint32).reshape(1, n) for m in (neg, valid)
+    ]
+    tile, pad = _tile_pad(n)
+    if pad:
+        flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
+        masks = [jnp.pad(m, ((0, 0), (0, pad))) for m in masks]
+    b3 = _b3_limbs(ops)
+    from . import pallas_field
+
+    outs = _ec_wave_call(f, b3, n + pad, tile, interpret, pallas_field.USE_KS)(
+        *flat, *masks
+    )
+    if pad:
+        outs = [o[:, :n] for o in outs]
+    return ProjPoint(*(o.reshape((L,) + batch) for o in outs))
+
+
+def _b3_limbs(ops):
+    """3*b as Montgomery limb ints (hashable tuple for the call cache)."""
+    f = ops.lane.f
+    enc = f._int_to_limbs_np((ops.b3_host * f.R) % f.p)
+    return tuple(int(v) for v in enc.reshape(-1))

@@ -50,6 +50,44 @@ def _carry(cols, n):
     return jnp.concatenate(outs, 0)
 
 
+# parallel-carry toggle (A/B probe: scripts/probe_mont_mul.py). The serial
+# chain is 3 dependent vector ops per limb row; Kogge-Stone replaces it
+# with ~2 folds + log2(n) prefix levels of independent full-height ops.
+USE_KS = bool(int(os.environ.get("COCIRCOM_PALLAS_KS", "0")))
+
+
+def _carry_ks_out(cols, n):
+    """Parallel carry propagation (exact): cols (C, T) u32 with values
+    < 2^22 -> (n canonical limbs, carry out of column n-1)."""
+    v = cols[:n]
+    drop = jnp.zeros_like(v[0:1])
+    # two folds: hi bits hop one column; bounds 2^22 -> 2^16+2^6 -> 2^16
+    for _ in range(2):
+        lo = v & MASK
+        hi = v >> W
+        drop = drop + hi[n - 1 : n]
+        v = lo + jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], 0)
+    # v <= 2^16: single-bit generate/propagate prefix scan
+    g = v >> W  # {0, 1}
+    r = v & MASK
+    pr = (r == MASK).astype(jnp.uint32)
+    d = 1
+    while d < n:
+        gs = jnp.concatenate([jnp.zeros_like(g[:d]), g[:-d]], 0)
+        ps = jnp.concatenate([jnp.zeros_like(pr[:d]), pr[:-d]], 0)
+        g = g | (pr & gs)
+        pr = pr & ps
+        d <<= 1
+    cin = jnp.concatenate([jnp.zeros_like(g[:1]), g[:-1]], 0)
+    return (r + cin) & MASK, drop + g[n - 1 : n]
+
+
+def _carry_n(cols, n, ks=None):
+    if USE_KS if ks is None else ks:
+        return _carry_ks_out(cols, n)[0]
+    return _carry(cols, n)
+
+
 def _mul_cols(a, b_rows, L, ncols):
     """Schoolbook product into `ncols` deferred-carry columns.
 
@@ -104,28 +142,54 @@ def _cond_sub_p(x, p_limbs, L):
     return jnp.where(borrow.astype(bool), x, d)
 
 
-def _make_kernel(L, p_limbs, nprime_limbs):
+def _carry_out(cols, n):
+    """Like _carry but also returns the carry out of column n-1."""
+    c = jnp.zeros_like(cols[0:1])
+    outs = []
+    for i in range(n):
+        t = cols[i : i + 1] + c
+        outs.append(t & MASK)
+        c = t >> W
+    return jnp.concatenate(outs, 0), c
+
+
+def _mont_core(a, b, L, p_limbs, nprime_limbs, ks=False):
+    """(a * b * R^-1) mod p on (L, T) canonical limbs, result < p.
+
+    The serial carry chains dominate kernel latency (each step depends on
+    the previous row), so the first propagation only canonicalizes the low
+    L columns (all REDC needs for q); the high half stays in deferred-carry
+    form and rides the one full-width chain over s = T + q*p.
+    """
+    wide = _mul_cols(a, b, L, 2 * L)
+    if ks:
+        tlo, c_mid = _carry_ks_out(wide[:L], L)
+    else:
+        tlo, c_mid = _carry_out(wide[:L], L)
+    q = _carry_n(_mul_cols(tlo, nprime_limbs, L, L), L, ks)
+    qp = _mul_cols(q, p_limbs, L, 2 * L)
+    s_lo = tlo + qp[:L]  # <= (2^16-1) + 2^21: deferred-safe
+    s_hi = wide[L:] + qp[L:]  # <= 2^21 + 2^21
+    s_hi = jnp.concatenate([s_hi[0:1] + c_mid, s_hi[1:]], 0)
+    sc = _carry_n(jnp.concatenate([s_lo, s_hi], 0), 2 * L, ks)
+    return _cond_sub_p(sc[L:], p_limbs, L)
+
+
+def _make_kernel(L, p_limbs, nprime_limbs, ks):
     p_limbs = [int(v) for v in p_limbs]
     nprime_limbs = [int(v) for v in nprime_limbs]
 
     def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[:]
-        b = b_ref[:]
-        wide = _mul_cols(a, b, L, 2 * L)
-        tc = _carry(wide, 2 * L)
-        q = _carry(_mul_cols(tc[:L], nprime_limbs, L, L), L)
-        s = tc + _mul_cols(q, p_limbs, L, 2 * L)
-        sc = _carry(s, 2 * L)
-        o_ref[:] = _cond_sub_p(sc[L:], p_limbs, L)
+        o_ref[:] = _mont_core(a_ref[:], b_ref[:], L, p_limbs, nprime_limbs, ks)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _mont_mul_call(field, n, tile, interpret):
+def _mont_mul_call(field, n, tile, interpret, ks=False):
     """Compiled pallas_call for (L, n) operands, grid over n//tile tiles."""
     L = field.L
-    kernel = _make_kernel(L, field.p_limbs, field.nprime_limbs)
+    kernel = _make_kernel(L, field.p_limbs, field.nprime_limbs, ks)
     grid = n // tile
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -175,7 +239,7 @@ def _sub_mod(x, y, p_limbs, L):
     return jnp.where(borrow.astype(bool), dp, d)
 
 
-def _make_butterfly_kernel(L, p_limbs, nprime_limbs):
+def _make_butterfly_kernel(L, p_limbs, nprime_limbs, ks):
     """even, odd, w -> (even + odd*w, even - odd*w): one NTT butterfly
     stage entirely in VMEM. Fusing the two modular add/sub passes into the
     Montgomery multiply saves two kernel launches and four HBM round trips
@@ -186,14 +250,7 @@ def _make_butterfly_kernel(L, p_limbs, nprime_limbs):
 
     def kernel(e_ref, o_ref, w_ref, oe_ref, oo_ref):
         e = e_ref[:]
-        o = o_ref[:]
-        w = w_ref[:]
-        wide = _mul_cols(o, w, L, 2 * L)
-        tc = _carry(wide, 2 * L)
-        q = _carry(_mul_cols(tc[:L], nprime_limbs, L, L), L)
-        s = tc + _mul_cols(q, p_limbs, L, 2 * L)
-        sc = _carry(s, 2 * L)
-        t = _cond_sub_p(sc[L:], p_limbs, L)
+        t = _mont_core(o_ref[:], w_ref[:], L, p_limbs, nprime_limbs, ks)
         oe_ref[:] = _add_mod(e, t, p_limbs, L)
         oo_ref[:] = _sub_mod(e, t, p_limbs, L)
 
@@ -201,9 +258,9 @@ def _make_butterfly_kernel(L, p_limbs, nprime_limbs):
 
 
 @functools.lru_cache(maxsize=None)
-def _butterfly_call(field, n, tile, interpret):
+def _butterfly_call(field, n, tile, interpret, ks=False):
     L = field.L
-    kernel = _make_butterfly_kernel(L, field.p_limbs, field.nprime_limbs)
+    kernel = _make_butterfly_kernel(L, field.p_limbs, field.nprime_limbs, ks)
     grid = n // tile
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
@@ -235,7 +292,7 @@ def butterfly_pallas(field, even, odd, w, interpret: bool = False):
         even = jnp.pad(even, ((0, 0), (0, pad)))
         odd = jnp.pad(odd, ((0, 0), (0, pad)))
         w = jnp.pad(w, ((0, 0), (0, pad)))
-    oe, oo = _butterfly_call(field, n + pad, tile, interpret)(even, odd, w)
+    oe, oo = _butterfly_call(field, n + pad, tile, interpret, USE_KS)(even, odd, w)
     if pad:
         oe, oo = oe[:, :n], oo[:, :n]
     return oe, oo
@@ -264,7 +321,7 @@ def mont_mul_pallas(field, a, b, interpret: bool = False):
     if pad:
         a2 = jnp.pad(a2, ((0, 0), (0, pad)))
         b2 = jnp.pad(b2, ((0, 0), (0, pad)))
-    out = _mont_mul_call(field, n + pad, tile, interpret)(a2, b2)
+    out = _mont_mul_call(field, n + pad, tile, interpret, USE_KS)(a2, b2)
     if pad:
         out = out[:, :n]
     return out.reshape((L,) + batch)

@@ -66,3 +66,31 @@ def test_pallas_butterfly_matches_xla():
     got_e, got_o = butterfly_pallas(f, e, o, w, interpret=True)
     assert bool(jnp.all(ref_e == got_e))
     assert bool(jnp.all(ref_o == got_o))
+
+
+def test_pallas_kogge_stone_carry_mode():
+    """KS parallel-carry kernels match the serial-chain kernels, including
+    full-ripple carry patterns (operands driving limbs to 0xFFFF)."""
+    from cocircom_tpu.ops import pallas_field
+
+    f = get_field(BN254.fr.p, "bn254.fr")
+    rng = np.random.default_rng(3)
+    vals = [int.from_bytes(rng.bytes(40), "little") % f.p for _ in range(300)]
+    # ripple-prone values: R-1 mod p, p-1, 2^k-1 ladders
+    vals[:6] = [f.p - 1, (1 << 255) % f.p, (1 << 256) % f.p - 1 % f.p,
+                (f.R - 1) % f.p, 1, (1 << 128) - 1]
+    a = jnp.asarray(f.to_limbs(vals))
+    b = jnp.asarray(f.to_limbs(vals[::-1]))
+    ref = f.mont_mul(a, b)
+    old = pallas_field.USE_KS
+    try:
+        pallas_field.USE_KS = True
+        got = pallas_field.mont_mul_pallas(f, a, b, interpret=True)
+        t = f.mont_mul(b, a)
+        ref_e, ref_o = f.add(a, t), f.sub(a, t)
+        got_e, got_o = pallas_field.butterfly_pallas(f, a, b, a, interpret=True)
+    finally:
+        pallas_field.USE_KS = old
+    assert bool(jnp.all(ref == got))
+    assert bool(jnp.all(ref_e == got_e))
+    assert bool(jnp.all(ref_o == got_o))
