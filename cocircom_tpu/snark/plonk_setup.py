@@ -149,19 +149,23 @@ def plonk_setup(r1cs: R1CS, seed: bytes | None = None):
     first_pos: dict[int, int] = {}
     last_pos: dict[int, int] = {}
 
+    # snarkjs orientation (recovered from the committed multiplier2 zkey):
+    # sigma(pos) = id(PREVIOUS occurrence of the signal in row-major a,b,c
+    # scan order); the first occurrence closes the cycle with id(last).
     def build_sigma(s, pos):
         if s in last_pos:
-            sigma[last_pos[s]] = ident[pos]
+            sigma[pos] = ident[last_pos[s]]
         else:
             first_pos[s] = pos
         last_pos[s] = pos
 
-    for row, g in enumerate(gates):
+    for row in range(domain):  # padding rows scan signal 0 in every slot
+        g = gates[row] if row < len(gates) else (0, 0, 0)
         build_sigma(g[0], row)
         build_sigma(g[1], domain + row)
         build_sigma(g[2], 2 * domain + row)
     for s, fp in first_pos.items():
-        sigma[last_pos[s]] = ident[fp]
+        sigma[fp] = ident[last_pos[s]]
 
     # ---- polynomials (coeffs + 4n extended evals) ----
     def poly_bytes(evals_on_domain, enc):

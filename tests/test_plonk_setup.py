@@ -38,6 +38,16 @@ def test_plonk_setup_full_circle_multiplier2():
     assert (zk.map_c == committed.map_c).all()
     assert zk.k1 == committed.k1 and zk.k2 == committed.k2
 
+    # tau-independent sections (additions, wire maps, selectors, sigmas,
+    # lagranges) must be BYTE-identical to what snarkjs wrote; only the
+    # header vk points and p_tau depend on the sampled tau
+    from cocircom_tpu.io.binfile import read_binfile
+
+    ours = read_binfile(zkey_bytes, "zkey").sections
+    theirs = read_binfile(open(f"{base}/circuit.zkey", "rb").read(), "zkey").sections
+    for sid in range(3, 14):
+        assert ours.get(sid) == theirs.get(sid), f"section {sid} differs"
+
     wtns = read_wtns(open(f"{base}/witness.wtns", "rb").read())
     vals = wtns.values_ints()
     d = plain_driver(BN254)
