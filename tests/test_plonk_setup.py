@@ -67,6 +67,41 @@ def test_plonk_setup_full_circle_multiplier2():
     assert vk2["qm"] == vk["qm"] and vk2["x_2"] == vk["x_2"]
 
 
+def test_plonk_setup_bls12_381_sections_byte_exact():
+    """Same byte-exactness on the other curve's committed zkey."""
+    from cocircom_tpu.io.binfile import read_binfile
+
+    base = f"{TV}/bls12_381/multiplier2"
+    r1cs = read_r1cs(open(f"{base}/circuit.r1cs", "rb").read())
+    zkey_bytes, _ = plonk_setup(r1cs, seed=b"t")
+    ours = read_binfile(zkey_bytes, "zkey").sections
+    theirs = read_binfile(open(f"{base}/circuit.zkey", "rb").read(), "zkey").sections
+    for sid in range(3, 14):
+        assert ours.get(sid) == theirs.get(sid), f"section {sid} differs"
+
+
+def test_plonk_setup_full_circle_poseidon():
+    """Poseidon has 2228 addition wires — exercises the reduce_coefs LC
+    reduction (multiplier2 has none) through prove+verify."""
+    base = f"{TV}/bn254/poseidon"
+    r1cs = read_r1cs(open(f"{base}/circuit.r1cs", "rb").read())
+    zkey_bytes, vk = plonk_setup(r1cs, seed=b"test-poseidon")
+    zk = read_plonk_zkey(zkey_bytes)
+    assert zk.n_additions > 0
+
+    wtns = read_wtns(open(f"{base}/witness.wtns", "rb").read())
+    vals = wtns.values_ints()
+    d = plain_driver(BN254)
+    n_pub = zk.n_public + 1
+    shared = SharedWitness(
+        [int(v) for v in vals[:n_pub]],
+        d.promote_public(d.fr.encode([int(v) for v in vals[n_pub:]])),
+    )
+    proof = CoPlonk(d).prove(zk, shared)
+    publics = [int(v) for v in vals[1:n_pub]]
+    assert verify_plonk(vk, proof, publics)
+
+
 def test_plonk_setup_deterministic():
     base = f"{TV}/bn254/multiplier2"
     r1cs = read_r1cs(open(f"{base}/circuit.r1cs", "rb").read())
