@@ -329,6 +329,7 @@ class UltraCircuitBuilder:
         self.current_tag = DUMMY_TAG
         self.rom_arrays: list[dict] = []
         self.ram_arrays: list[dict] = []
+        self.range_lists: dict[int, dict] = {}
         self.lookup_tables: list[dict] = []
         self.memory_read_records: list[int] = []
         self.memory_write_records: list[int] = []
@@ -900,6 +901,7 @@ class UltraCircuitBuilder:
             diff = d.sub(d.slice_share(s_ts, 1, R),
                          d.slice_share(s_ts, 0, R - 1))
             deltas = d.mul_vec(eq, diff)
+            delta_ws = []
             for i in range(R - 1):
                 idx_w, ts_w, _v, _r = rows_w[i]
                 delta_w = self.add_variable(
@@ -907,6 +909,9 @@ class UltraCircuitBuilder:
                 blk.push_selectors(q_1=1, q_4=1, q_aux=1)
                 blk.populate_wires(idx_w, ts_w, delta_w, self.zero_idx)
                 self.num_gates += 1
+                delta_ws.append(delta_w)
+            for w in delta_ws:
+                self.create_new_range_constraint(w, R - 1)
         fi, ft = rows_w[-1][0], rows_w[-1][1]
         self._dummy_gate("aux", fi, ft, self.zero_idx, self.zero_idx)
 
@@ -914,6 +919,7 @@ class UltraCircuitBuilder:
         blk = self.blocks["aux"]
         # timestamp-delta gates: for adjacent same-index accesses, w_3 holds
         # ts_{i+1} - ts_i (AuxSelectors::RamTimestampCheck, consecutive rows)
+        delta_ws = []
         for i in range(len(rows) - 1):
             idx_w, ts_w, _v, _r, rec = rows[i]
             nxt = rows[i + 1][4]
@@ -923,9 +929,138 @@ class UltraCircuitBuilder:
             blk.push_selectors(q_1=1, q_4=1, q_aux=1)
             blk.populate_wires(idx_w, ts_w, delta_w, self.zero_idx)
             self.num_gates += 1
+            delta_ws.append(delta_w)
         # final boundary row for the timestamp chain
         fi, ft = rows[-1][0], rows[-1][1]
         self._dummy_gate("aux", fi, ft, self.zero_idx, self.zero_idx)
+        # timestamps are monotone within an index run, so every delta is
+        # bounded by the largest timestamp (bb process_RAM_array step 3)
+        max_timestamp = len(rows) - 1
+        for w in delta_ws:
+            self.create_new_range_constraint(w, max_timestamp)
+
+    # ---------------------------------------------------------- range lists
+    # Barretenberg-style range constraints (the reference todo!()s these,
+    # builder.rs:1782-1786 process_range_lists). One list per target range,
+    # seeded with every multiple of DEFAULT_SORT_STEP in [0, target] so the
+    # honest sorted list never jumps by more than the step; members carry the
+    # list's range tag. At finalize, a sorted duplicate of the members is
+    # created (tau tag), padded to gate width, and constrained by
+    # q_delta_range gates: adjacent deltas in [0, 3], first element pinned
+    # to 0 and last to target. The generalized-permutation tag pair (same
+    # sigma machinery as the memory records, proving_key.py:163-205) proves
+    # the sorted list is a permutation of the tagged members, so every
+    # member lies in [0, target]. Under MPC the member values are shares:
+    # the sorted duplicate comes from the oblivious bitonic network
+    # (co_builder.sort_records) keyed by the values themselves — duplicate
+    # keys are fine here because equal values make every sorted order
+    # value-identical, keeping plain-vs-MPC proof bytes equal.
+
+    DEFAULT_SORT_STEP = 3
+
+    def create_range_list(self, target_range: int) -> dict:
+        range_tag = self.get_new_tag()
+        tau_tag = self.get_new_tag()
+        self.create_tag(range_tag, tau_tag)
+        self.create_tag(tau_tag, range_tag)
+        indices = []
+        for i in range(target_range // self.DEFAULT_SORT_STEP + 1):
+            idx = self.add_variable(i * self.DEFAULT_SORT_STEP)
+            self.assign_tag(idx, range_tag)
+            indices.append(idx)
+        idx = self.add_variable(target_range)
+        self.assign_tag(idx, range_tag)
+        indices.append(idx)
+        # seeds must occupy a wire slot or their range tag never enters the
+        # permutation grand product (bb: "these variables will not appear in
+        # the witness otherwise" — one dummy arithmetic gate per seed)
+        for idx in indices:
+            self._dummy_gate("arithmetic", idx, self.zero_idx,
+                             self.zero_idx, self.zero_idx)
+        return {"target_range": target_range, "range_tag": range_tag,
+                "tau_tag": tau_tag, "variable_indices": indices}
+
+    def create_new_range_constraint(self, variable_index: int,
+                                    target_range: int):
+        if target_range not in self.range_lists:
+            self.range_lists[target_range] = self.create_range_list(
+                target_range)
+        lst = self.range_lists[target_range]
+        existing = self.real_variable_tags[
+            self.real_variable_index[variable_index]]
+        if existing not in (DUMMY_TAG, lst["range_tag"]):
+            # already carries another tag: range-constrain a fresh copy tied
+            # by an arithmetic gate (bb create_new_range_constraint)
+            m = self.mpc
+            if m is not None and m.is_shared(variable_index):
+                from .co_builder import ShVal
+
+                copy = self.add_variable(ShVal(m.get(variable_index)))
+            else:
+                copy = self.add_variable(self.get_variable(variable_index))
+            self.create_add_gate(variable_index, copy, self.zero_idx,
+                                 1, -1, 0, 0)
+            variable_index = copy
+        self.assign_tag(variable_index, lst["range_tag"])
+        lst["variable_indices"].append(variable_index)
+
+    def _process_range_lists_finalize(self):
+        for target in self.range_lists:
+            self._process_one_range_list(self.range_lists[target])
+
+    def _process_one_range_list(self, lst):
+        # the tag factor is per copy CYCLE: members merged by later
+        # assert_equals must count once, so dedup by real variable index
+        seen = set()
+        idxs = []
+        for i in lst["variable_indices"]:
+            real = self.real_variable_index[i]
+            if real not in seen:
+                seen.add(real)
+                idxs.append(i)
+        m = self.mpc
+        sorted_idx = []
+        if m is not None and any(m.is_shared(i) for i in idxs):
+            from .co_builder import ShVal
+
+            vals = m.value_vec(idxs, self)
+            (s_vals,) = m.sort_records(vals, [vals])
+            for i in range(len(idxs)):
+                w = self.add_variable(
+                    ShVal(m.d.slice_share(s_vals, i, i + 1)))
+                self.assign_tag(w, lst["tau_tag"])
+                sorted_idx.append(w)
+        else:
+            for v in sorted(self.get_variable(i) for i in idxs):
+                w = self.add_variable(v)
+                self.assign_tag(w, lst["tau_tag"])
+                sorted_idx.append(w)
+        gw = NUM_WIRES
+        padding = (gw - (len(sorted_idx) % gw)) % gw
+        if len(sorted_idx) <= gw:
+            padding += gw
+        # untagged zero padding sorts to the FRONT (values start at 0)
+        sorted_idx = [self.zero_idx] * padding + sorted_idx
+        self._create_sort_constraint_with_edges(
+            sorted_idx, 0, lst["target_range"])
+
+    def _create_sort_constraint_with_edges(self, idxs, start: int, end: int):
+        gw = NUM_WIRES
+        assert len(idxs) % gw == 0 and len(idxs) > gw
+        self.create_add_gate(idxs[0], self.zero_idx, self.zero_idx,
+                             1, 0, 0, -start)
+        blk = self.blocks["delta_range"]
+        for i in range(0, len(idxs), gw):
+            blk.populate_wires(idxs[i], idxs[i + 1], idxs[i + 2],
+                               idxs[i + 3])
+            blk.push_selectors(q_delta_range=1)
+            self.num_gates += 1
+        # boundary row: the final real row's w_l_shift delta closes at the
+        # last element (its own deltas are unchecked, q_delta_range = 0)
+        self._dummy_gate("delta_range", idxs[-1], self.zero_idx,
+                         self.zero_idx, self.zero_idx)
+        self.create_add_gate(idxs[-1], self.zero_idx, self.zero_idx,
+                             1, 0, 0, -end)
 
     # ------------------------------------------------------------- plookup
 
@@ -1035,12 +1170,13 @@ class UltraCircuitBuilder:
 
     def finalize_circuit(self):
         if not self.circuit_finalized:
-            # ROM/RAM consistency processing (the reference todo!()s these,
-            # builder.rs:1772-1788 — implemented here, see the process
-            # methods above). Range lists are not needed: ACIR range
-            # constraints arrive as explicit gates.
+            # ROM/RAM consistency + range-list processing (the reference
+            # todo!()s all three, builder.rs:1772-1788 — implemented here,
+            # see the process methods above). RAM timestamp deltas register
+            # range constraints, so lists process after the memory arrays.
             self._process_rom_arrays_finalize()
             self._process_ram_arrays_finalize()
+            self._process_range_lists_finalize()
             self.circuit_finalized = True
 
     # ------------------------------------------------------------- sizing

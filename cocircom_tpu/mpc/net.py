@@ -15,6 +15,7 @@ connection (parity: mpc-net/src/lib.rs:174-194).
 
 from __future__ import annotations
 
+import os
 import queue
 import socket
 import ssl
@@ -213,6 +214,7 @@ class TcpNetwork(Network):
         self._recvd = 0
         self._lock = threading.Lock()
         self._tls = tls
+        self._log = True if os.environ.get("COCIRCOM_NET_LOG") else None
         self._connect_mesh(addresses, timeout)
         self._readers = []
         for peer, s in self._socks.items():
@@ -285,6 +287,15 @@ class TcpNetwork(Network):
             raise ConnectionError(
                 f"mesh incomplete: {sorted(self._socks)} of {self.n_parties - 1} peers"
             )
+        # the handshake timeout must NOT outlive the handshake: sockets from
+        # create_connection (and accepted ones, depending on the platform)
+        # keep a 60 s timeout, so any round gap longer than that — e.g. a
+        # party stuck in a long XLA compile — made the idle peer's reader
+        # raise socket.timeout (an OSError), which was indistinguishable
+        # from "peer closed" and tore the mesh down. Readers block forever;
+        # liveness detection lives at the recv() queue timeout instead.
+        for s in self._socks.values():
+            s.settimeout(None)
 
     @staticmethod
     def _recv_exact(sock, n):
@@ -309,14 +320,25 @@ class TcpNetwork(Network):
         except ValueError as e:  # malformed frame from a bad peer
             q.put(ConnectionError(f"bad frame: {e}"))
 
+    def _netlog(self, line: str) -> None:
+        """COCIRCOM_NET_LOG=<path>: append one line per send/recv — a
+        round-schedule trace for debugging cross-party divergence."""
+        if self._log is None:
+            return
+        if self._log is True:
+            self._log = open(os.environ["COCIRCOM_NET_LOG"], "a", buffering=1)
+        self._log.write(line + "\n")
+
     def send(self, to: int, obj: Any) -> None:
         payload = _encode(_to_host(obj))
         frame = struct.pack("<I", len(payload)) + payload
         with self._lock:
             self._sent += len(frame)
+        self._netlog(f"send to={to} n={len(payload)}")
         self._socks[to].sendall(frame)
 
     def recv(self, frm: int) -> Any:
+        self._netlog(f"recv frm={frm}")
         with ComputeGate.pause():
             obj = self._queues[frm].get(timeout=600)
         if isinstance(obj, ConnectionError):

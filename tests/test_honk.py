@@ -135,3 +135,44 @@ def test_proof_buffer_roundtrip():
     proof = prover.prove(pk)
     buf = prover.proof_to_buffer(proof)
     assert prover.proof_from_buffer(buf) == proof
+
+
+def test_range_constraint_sorted_list():
+    """bb-style range lists (the reference todo!()s process_range_lists,
+    builder.rs:1782): a constrained variable in range proves+verifies via
+    the q_delta_range sorted-list gates; an out-of-range value yields a
+    proof the verifier rejects (a sorted delta exceeds 3 or an edge pin
+    fails)."""
+    from cocircom_tpu.honk.builder import AcirFormat, PolyTriple
+
+    def build(val):
+        af = AcirFormat(varnum=4, public_inputs=[1])
+        # w1 + w2 = w3 keeps the witnesses constrained
+        af.poly_triple_constraints.append(
+            PolyTriple(a=1, b=2, c=3, q_l=1, q_r=1, q_o=prover.P - 1))
+        builder = UltraCircuitBuilder(af, [0, val, 2, val + 2])
+        builder.create_new_range_constraint(1, 10)
+        return create_keys(builder, TestCrs())
+
+    pk, vk = build(7)
+    proof = prover.prove(pk)
+    assert verifier.verify(proof, vk)
+
+    pk_bad, vk_bad = build(25)  # 25 > 10: out of range
+    assert not verifier.verify(prover.prove(pk_bad), vk_bad)
+
+
+def test_range_constraint_double_tag_copy():
+    """A variable that already carries another tag gets range-constrained
+    through a fresh copy tied by an add gate (bb fallback path)."""
+    from cocircom_tpu.honk.builder import AcirFormat, PolyTriple
+
+    af = AcirFormat(varnum=4, public_inputs=[1])
+    af.poly_triple_constraints.append(
+        PolyTriple(a=1, b=2, c=3, q_l=1, q_r=1, q_o=prover.P - 1))
+    builder = UltraCircuitBuilder(af, [0, 5, 2, 7])
+    builder.create_new_range_constraint(1, 10)
+    builder.create_new_range_constraint(1, 12)  # second list: copy path
+    pk, vk = create_keys(builder, TestCrs())
+    proof = prover.prove(pk)
+    assert verifier.verify(proof, vk)
