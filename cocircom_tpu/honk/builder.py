@@ -326,6 +326,8 @@ class UltraCircuitBuilder:
         self.blocks["aux"].has_ram_rom = True
         self.num_gates = 0
         self.circuit_finalized = False
+        self.failed = False  # bb failure flag: bad witness at construction
+        self.failure_msg = ""
         self.current_tag = DUMMY_TAG
         self.rom_arrays: list[dict] = []
         self.ram_arrays: list[dict] = []
@@ -973,10 +975,12 @@ class UltraCircuitBuilder:
         indices.append(idx)
         # seeds must occupy a wire slot or their range tag never enters the
         # permutation grand product (bb: "these variables will not appear in
-        # the witness otherwise" — one dummy arithmetic gate per seed)
-        for idx in indices:
-            self._dummy_gate("arithmetic", idx, self.zero_idx,
-                             self.zero_idx, self.zero_idx)
+        # the witness otherwise"); bb's create_dummy_constraints packs FOUR
+        # seed variables per all-zero-selector gate
+        padded = list(indices)
+        padded += [self.zero_idx] * ((-len(padded)) % NUM_WIRES)
+        for i in range(0, len(padded), NUM_WIRES):
+            self._dummy_gate("arithmetic", *padded[i : i + NUM_WIRES])
         return {"target_range": target_range, "range_tag": range_tag,
                 "tau_tag": tau_tag, "variable_indices": indices}
 
@@ -986,12 +990,26 @@ class UltraCircuitBuilder:
             self.range_lists[target_range] = self.create_range_list(
                 target_range)
         lst = self.range_lists[target_range]
+        m = self.mpc
+        if (m is None or not m.is_shared(variable_index)) and int(
+            self.get_variable(variable_index)
+        ) > target_range:
+            # bb records a failure flag so a bad witness surfaces at
+            # construction (proving still runs; the proof won't verify)
+            self.failed = True
+            self.failure_msg = (
+                f"range constraint violated: value exceeds {target_range}"
+            )
         existing = self.real_variable_tags[
             self.real_variable_index[variable_index]]
         if existing not in (DUMMY_TAG, lst["range_tag"]):
+            # already tagged by a range list with a SMALLER target: the
+            # variable is already more tightly constrained (bb early-return)
+            for t2, l2 in self.range_lists.items():
+                if l2["range_tag"] == existing and t2 < target_range:
+                    return
             # already carries another tag: range-constrain a fresh copy tied
             # by an arithmetic gate (bb create_new_range_constraint)
-            m = self.mpc
             if m is not None and m.is_shared(variable_index):
                 from .co_builder import ShVal
 
@@ -1047,20 +1065,26 @@ class UltraCircuitBuilder:
     def _create_sort_constraint_with_edges(self, idxs, start: int, end: int):
         gw = NUM_WIRES
         assert len(idxs) % gw == 0 and len(idxs) > gw
-        self.create_add_gate(idxs[0], self.zero_idx, self.zero_idx,
-                             1, 0, 0, -start)
         blk = self.blocks["delta_range"]
         for i in range(0, len(idxs), gw):
             blk.populate_wires(idxs[i], idxs[i + 1], idxs[i + 2],
                                idxs[i + 3])
-            blk.push_selectors(q_delta_range=1)
+            # edge pin fused into the first sort row (bb
+            # create_sort_constraint_with_edges): q_arith=1/q_1=1/q_c=-start
+            # asserts w_1 == start on the same row the delta chain begins
+            if i == 0:
+                blk.push_selectors(q_delta_range=1, q_arith=1, q_1=1,
+                                   q_c=-start)
+            else:
+                blk.push_selectors(q_delta_range=1)
             self.num_gates += 1
         # boundary row: the final real row's w_l_shift delta closes at the
-        # last element (its own deltas are unchecked, q_delta_range = 0)
-        self._dummy_gate("delta_range", idxs[-1], self.zero_idx,
-                         self.zero_idx, self.zero_idx)
-        self.create_add_gate(idxs[-1], self.zero_idx, self.zero_idx,
-                             1, 0, 0, -end)
+        # last element (its own deltas are unchecked, q_delta_range = 0);
+        # the end pin rides it as an arithmetic row (bb fuses it the same way)
+        blk.populate_wires(idxs[-1], self.zero_idx, self.zero_idx,
+                           self.zero_idx)
+        blk.push_selectors(q_arith=1, q_1=1, q_c=-end)
+        self.num_gates += 1
 
     # ------------------------------------------------------------- plookup
 

@@ -214,7 +214,10 @@ class TcpNetwork(Network):
         self._recvd = 0
         self._lock = threading.Lock()
         self._tls = tls
-        self._log = True if os.environ.get("COCIRCOM_NET_LOG") else None
+        # open once here (not lazily in _netlog): send() may be called from
+        # several threads and a check-then-act open would race/leak handles
+        path = os.environ.get("COCIRCOM_NET_LOG")
+        self._log = open(path, "a", buffering=1) if path else None
         self._connect_mesh(addresses, timeout)
         self._readers = []
         for peer, s in self._socks.items():
@@ -325,8 +328,6 @@ class TcpNetwork(Network):
         round-schedule trace for debugging cross-party divergence."""
         if self._log is None:
             return
-        if self._log is True:
-            self._log = open(os.environ["COCIRCOM_NET_LOG"], "a", buffering=1)
         self._log.write(line + "\n")
 
     def send(self, to: int, obj: Any) -> None:
@@ -370,6 +371,9 @@ class TcpNetwork(Network):
                 s.close()
             except OSError:
                 pass
+        if self._log is not None:
+            self._log.close()
+            self._log = None
 
 
 class TlsConfig:

@@ -7,22 +7,35 @@ Algorithm (per c-bit signed window):
      parallel, ranks [w*T, w*T+T) of that bucket's run into a (K+1, T)-wide
      accumulator — a batched complete EC add per wave, NO scatter with EC
      semantics anywhere. Work = sum over waves of K*T adds ~= N adds/window.
-     The T-way rank split (default 8) keeps total adds constant while
-     cutting the wave count T-fold: each device program is ~T x larger
-     (better VPU occupancy for the Pallas mont_mul tiles) and the host
-     issues T x fewer dispatches through the tunnel. The T partial
-     accumulators fold with log2(T) batched adds before bucket reduction.
   4. bucket reduction sum_j j*B_j via a reversed associative scan (suffix
      sums) + tree sum — log K levels of batched adds.
   5. Horner across windows: c doublings + 1 add per window.
 
-Execution structure (round-2 redesign): the MSM is a HOST-ORCHESTRATED
-sequence of four small jitted programs — prepare / wave-step / bucket-reduce
-/ Horner — with the wave loop driven from Python. One monolithic program
-(round 1) hit multi-minute XLA compiles that crashed the remote TPU worker
-at n >= 2^16; small programs compile in seconds, cache well across sizes
-(the wave step is shape-stable in n), and dispatch latency hides behind the
-TPU's async execution queue.
+Load balancing (round-3 redesign): the wave count is set by the LONGEST
+bucket run across all windows. The top remainder window has only
+B = nbits - c*(nw-1) bits of digit support, so its points pile into 2^B
+buckets with runs 2^(c-1-B)x longer than every other window's — this is
+what made windows with c not dividing nbits 4-45x slower in the round-2
+sweep (the "c=8 anomaly": 256 = 8*32 is the only aligned choice). Fix:
+the top window's K+1 bucket lanes are re-packed as S x nb SEGMENTS
+(lane = seg*nb + digit, seg = position block); each segment covers 1/S of
+the points, restoring the mean run length of the full windows. The packed
+row needs its own weighted bucket reduction (weight = lane mod nb), done
+by a (S, nb) reshape + the same double-suffix scan + a segment tree-sum.
+
+Gathers (round-3): the per-wave point fetch reads an ELEMENT-MAJOR copy of
+the points (N, 3L) — one gather index fetches 192 contiguous bytes (the
+TPU-friendly embedding-lookup pattern) instead of 3L strided 4-byte rows
+from the (L, N) layout; measured ~half the wave time was this gather.
+
+Execution structure: a HOST-ORCHESTRATED sequence of small jitted programs
+— prepare / wave-chunk / bucket-reduce / Horner — with the wave loop driven
+from Python. One monolithic program (round 1) hit multi-minute XLA compiles
+that crashed the remote TPU worker at n >= 2^16; small programs compile in
+seconds and cache across sizes. Inputs above 2^CHUNK_LOG run as chunked
+prepares + waves ACCUMULATING INTO ONE SHARED (nw, K+1, T) accumulator;
+bucket reduction and Horner run once at the end (round 2 paid them — and a
+rate collapse — per chunk).
 
 This mirrors the role of MSMProvider (/root/reference/mpc-core/src/traits.rs:561)
 — share-local over public points, so the same kernel serves Plain/REP3/Shamir
@@ -67,6 +80,19 @@ def _signed_digits(scalar_limbs, nbits: int, c: int):
     return digits
 
 
+def _top_window_packing(nbits: int, c: int):
+    """(nw, nb, S): window count and the top row's segment packing.
+
+    The top row's digits live in [0, 2^B] with B = nbits - c*(nw-1); they
+    are spread over S segments of nb = 2^B + 1 lanes each."""
+    nw = -(-(nbits + 1) // c)
+    K = 1 << (c - 1)
+    B = max(nbits - c * (nw - 1), 0)
+    nb = (1 << min(B, c - 1)) + 1
+    S = max((K + 1) // nb, 1)
+    return nw, nb, S
+
+
 class MSM:
     def __init__(self, ops: CurveOps, c: int | None = None, t: int | None = None):
         self.ops = ops
@@ -74,14 +100,13 @@ class MSM:
         # rank-split factor: ranks processed per bucket per wave
         self.T = t or int(os.environ.get("COCIRCOM_MSM_T", "8"))
         self._prepare_jit = jax.jit(self._prepare, static_argnums=(1, 2))
-        self._wave_jit = jax.jit(self._wave_step)
-        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=7)
-        self._reduce_jit = jax.jit(self._reduce)
+        self._emajor_jit = jax.jit(self._emajor)
+        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=(7, 8))
+        self._reduce_jit = jax.jit(self._reduce, static_argnums=(1, 2))
         self._horner_jit = jax.jit(self._horner, static_argnums=1)
 
     # number of waves executed per device dispatch in the phased driver:
-    # one dispatch through the axon tunnel costs ~70 ms of latency, so
-    # running waves one-per-dispatch dominates the MSM wall time; a
+    # one dispatch through the axon tunnel costs ~ms of latency, so a
     # fori_loop chunk keeps the program one-wave-sized for the compiler
     # while cutting dispatches WAVE_CHUNK-fold.
     WAVE_CHUNK = 16
@@ -89,12 +114,16 @@ class MSM:
     def _window_c(self, n: int) -> int:
         if self.c:
             return self.c
-        # balance N adds vs K*logK scan work per window; capped at 8 — the
-        # v5e probe (scripts/probe_msm.py) measured c=8 fastest by 4-10x
-        # over both smaller and larger windows at 2^15..2^17 (43K/66K
-        # points/s): (nw=32, K+1=129) saturates the VPU lanes while larger
-        # windows blow past VMEM-friendly wave sizes
-        return max(2, min(8, (max(n, 2).bit_length() + 1) // 2 + 2))
+        env = int(os.environ.get("COCIRCOM_MSM_C", "0"))
+        if env:
+            return env
+        # N adds/window vs K*T wave width: once runs (n/K) comfortably
+        # exceed the rank split T, bigger windows win linearly (fewer
+        # windows = fewer adds AND fewer gathered bytes); below that the
+        # (K+1)*T lanes are mostly invalid. The top-window packing keeps
+        # every window balanced, so c is limited only by wave width.
+        lg = max(n, 2).bit_length() - 1
+        return max(2, min(12, lg - 5))
 
     # ------------------------------------------------ phase 1: digit/sort
 
@@ -102,7 +131,15 @@ class MSM:
         K = 1 << (c - 1)
         digits = jnp.stack(_signed_digits(scalar_limbs, nbits, c))  # (nw, N)
         nw, n = digits.shape
+        nw2, nb, S = _top_window_packing(nbits, c)
+        assert nw2 == nw
         bucket = jnp.abs(digits)
+        # pack the top row: lane = seg*nb + digit (digit 0 -> invalid K+1)
+        seg_size = -(-n // S)
+        seg = (jnp.arange(n, dtype=jnp.int32) // seg_size) * nb
+        top = bucket[nw - 1]
+        top = jnp.where(top > 0, top + seg, K + 1)
+        bucket = bucket.at[nw - 1].set(top)
         order = jnp.argsort(bucket, axis=1, stable=True)
         sortedb = jnp.take_along_axis(bucket, order, axis=1)
         prev = jnp.concatenate(
@@ -111,29 +148,39 @@ class MSM:
         starts = sortedb != prev
         arangeN = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (nw, n))
         woff = jnp.arange(nw, dtype=jnp.int32)[:, None] * (K + 2)
-        flat_idx = (jnp.where(starts, sortedb, K + 1) + woff).reshape(-1)
+        flat_idx = (jnp.where(starts & (sortedb <= K), sortedb, K + 1) + woff).reshape(-1)
         bucket_start = jnp.full((nw * (K + 2),), n, jnp.int32)
         bucket_start = bucket_start.at[flat_idx].min(
             jnp.where(starts, arangeN, n).reshape(-1), mode="drop"
         )
         bucket_start = bucket_start.reshape(nw, K + 2)[:, : K + 1]
-        # exact wave count: longest run among buckets > 0 across all windows
+        # exact wave count: longest run among buckets in [1, K] across rows
         run_start = jax.lax.associative_scan(
             jnp.maximum, jnp.where(starts, arangeN, -1), axis=1
         )
         rank = arangeN - run_start
-        n_waves = jnp.max(jnp.where(sortedb > 0, rank, -1)) + 1
+        live = (sortedb > 0) & (sortedb <= K)
+        n_waves = jnp.max(jnp.where(live, rank, -1)) + 1
         return digits, order, sortedb, bucket_start, n_waves
+
+    def _emajor(self, points: ProjPoint):
+        """(L, N) coord pytree -> (N, n_leaves*L) element-major gather copy."""
+        leaves = jax.tree.leaves(points)
+        return jnp.concatenate([c for c in leaves], axis=0).T
 
     # ------------------------------------------------ phase 2: one wave
 
-    def _wave_step(self, points, digits, order, sortedb, bucket_start, w, acc):
+    def _wave_step(self, pts_em, tdef, digits, order, sortedb,
+                   bucket_start, w, acc):
         """Wave w: add ranks [w*T, w*T+T) of every bucket's run into the
-        (nw, K+1, T) accumulator."""
+        (nw, K+1, T) accumulator. pts_em: (N, n_leaves*L) element-major,
+        tdef: the points pytree treedef (static)."""
         ops = self.ops
         T = self.T
         nw, Kp1 = bucket_start.shape
         n = sortedb.shape[1]
+        n_leaves = tdef.num_leaves
+        L = pts_em.shape[1] // n_leaves
         bidx = jnp.arange(Kp1, dtype=jnp.int32)[None, :, None]  # (1, Kp1, 1)
         ranks = jnp.arange(T, dtype=jnp.int32)[None, None, :]  # (1, 1, T)
         pos = bucket_start[:, :, None] + (w * T + ranks)  # (nw, Kp1, T)
@@ -143,15 +190,13 @@ class MSM:
         valid = (pos < n) & (sb == bidx) & (bidx > 0)
         src = jnp.take_along_axis(order, safe, axis=1)  # (nw, Kp1*T)
 
-        # ONE gather of the point coordinates; negative digits flip y in
-        # registers (half the HBM gather traffic of a points/neg_points
-        # double gather, and no negated copy of the array materializes)
-        g = jax.tree.map(
-            lambda a: jnp.take(a, src.reshape(-1), axis=1).reshape(
-                a.shape[:1] + (nw, Kp1, T)
-            ),
-            points,
-        )
+        # ONE row-gather of the element-major copy (contiguous n_leaves*L*4
+        # bytes per index — the embedding-lookup pattern the TPU gathers
+        # fast), then a transpose back to the (L, lanes) kernel layout.
+        # Negative digits flip y in registers.
+        rows = jnp.take(pts_em, src.reshape(-1), axis=0)  # (nw*Kp1*T, cL)
+        coords = rows.T.reshape(n_leaves, L, nw, Kp1, T)
+        g = jax.tree.unflatten(tdef, list(coords))
         dsel = jnp.take_along_axis(digits, src, axis=1).reshape(nw, Kp1, T) < 0
         ln = ops.lane
         from .curve import FqLane
@@ -165,27 +210,46 @@ class MSM:
         added = ops.add(acc, ptsel)
         return ops.select(valid, added, acc)
 
-    def _wave_chunk(self, points, digits, order, sortedb,
-                    bucket_start, w0, acc, n_steps: int):
+    def _wave_chunk(self, pts_em, digits, order, sortedb,
+                    bucket_start, w0, acc, n_steps: int, tdef):
         """Run n_steps consecutive waves on-device (one dispatch)."""
 
         def body(i, a):
             return self._wave_step(
-                points, digits, order, sortedb, bucket_start, w0 + i, a,
+                pts_em, tdef, digits, order, sortedb, bucket_start,
+                w0 + i, a,
             )
 
         return jax.lax.fori_loop(0, n_steps, body, acc)
 
     # ------------------------------------------------ phase 3: reduction
 
-    def _reduce(self, acc):
-        """(nw, K+1, T) bucket accumulators -> per-window sums sum_j j*B_j."""
+    def _reduce(self, acc, nb: int, S: int):
+        """(nw, K+1, T) bucket accumulators -> per-window sums sum_j w_j*B_j.
+
+        Full rows use weight = lane; the packed top row uses
+        weight = lane mod nb per segment, then sums its S segments."""
         ops = self.ops
         acc = ops.sum(acc, axis=3)  # fold the T rank-split partials
-        tail = jax.tree.map(lambda a: a[:, :, 1:], acc)  # (L, nw, K)
+        Kp1 = jax.tree.leaves(acc)[0].shape[2]
+
+        full = jax.tree.map(lambda a: a[:, :-1], acc)
+        tail = jax.tree.map(lambda a: a[:, :, 1:], full)  # (L, nw-1, K)
         suffix = ops.suffix_sums(tail, axis=2)
         suffix2 = ops.suffix_sums(suffix, axis=2)
-        return jax.tree.map(lambda a: jnp.take(a, 0, axis=2), suffix2)  # (L, nw)
+        wsums = jax.tree.map(lambda a: jnp.take(a, 0, axis=2), suffix2)
+
+        if nb == Kp1:  # top row is a full window too
+            return wsums
+        top = jax.tree.map(
+            lambda a: a[:, -1, : S * nb].reshape(a.shape[0], S, nb), acc
+        )
+        ttail = jax.tree.map(lambda a: a[:, :, 1:], top)  # (L, S, nb-1)
+        ts = ops.suffix_sums(ops.suffix_sums(ttail, axis=2), axis=2)
+        tsum = ops.sum(jax.tree.map(lambda a: jnp.take(a, 0, axis=2), ts), axis=1)
+        return jax.tree.map(
+            lambda a, t: jnp.concatenate([a, t[:, None]], axis=1), wsums, tsum
+        )
 
     # ------------------------------------------------ phase 4: Horner
 
@@ -210,27 +274,31 @@ class MSM:
         digits, order, sortedb, bucket_start, n_waves = self._prepare(
             scalar_limbs, nbits, c
         )
+        pts_em = self._emajor(points)
+        tdef = jax.tree.structure(points)
         nw = digits.shape[0]
+        _, nb, S = _top_window_packing(nbits, c)
         acc0 = self.ops.identity((nw, K + 1, self.T))
         n_super = -(-n_waves // self.T)
 
         def body(state):
             w, acc = state
             acc = self._wave_step(
-                points, digits, order, sortedb, bucket_start, w, acc
+                pts_em, tdef, digits, order, sortedb, bucket_start, w, acc
             )
             return w + 1, acc
 
         _, acc = jax.lax.while_loop(
             lambda st: st[0] < n_super, body, (jnp.int32(0), acc0)
         )
-        return self._horner(self._reduce(acc), c)
+        return self._horner(self._reduce(acc, nb, S), c)
 
     # ------------------------------------------------ driver
 
     # largest single-program point count: programs above this compile
     # multi-hour through the remote-compile tunnel, while MSM additivity
-    # makes host-level chunking free (chunk results are single points)
+    # makes host-level chunking free (the shared accumulator carries
+    # across chunks; reduce/Horner run once)
     CHUNK_LOG = 17
 
     def msm(self, points: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:
@@ -241,32 +309,29 @@ class MSM:
             return self.ops.identity(())
         nbits = nbits or 16 * scalar_limbs.shape[0]
         chunk = 1 << self.CHUNK_LOG
-        if n > chunk:
-            acc = None
-            for lo in range(0, n, chunk):
-                hi = min(lo + chunk, n)
-                part = self.msm(
-                    jax.tree.map(lambda c: c[..., lo:hi], points),
-                    scalar_limbs[:, lo:hi], nbits)
-                acc = part if acc is None else jax.jit(self.ops.add)(acc, part)
-            return acc
-        c = self._window_c(n)
+        c = self._window_c(min(n, chunk))
         K = 1 << (c - 1)
-        digits, order, sortedb, bucket_start, n_waves = self._prepare_jit(
-            scalar_limbs, nbits, c
-        )
-        nw = digits.shape[0]
-        n_waves = int(jax.device_get(n_waves))
-        n_super = -(-n_waves // self.T)
+        _, nb, S = _top_window_packing(nbits, c)
+        nw = -(-(nbits + 1) // c)
         acc = self.ops.identity((nw, K + 1, self.T))
-        # always dispatch full chunks (out-of-range waves are no-ops via the
-        # validity mask) so exactly ONE chunk program is ever compiled
-        for w in range(0, n_super, self.WAVE_CHUNK):
-            acc = self._wave_chunk_jit(
-                points, digits, order, sortedb, bucket_start,
-                jnp.int32(w), acc, self.WAVE_CHUNK,
+        tdef = jax.tree.structure(points)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            pts = jax.tree.map(lambda a: a[..., lo:hi], points)
+            sl = scalar_limbs[:, lo:hi]
+            digits, order, sortedb, bucket_start, n_waves = self._prepare_jit(
+                sl, nbits, c
             )
-        wsums = self._reduce_jit(acc)
+            pts_em = self._emajor_jit(pts)
+            n_super = -(-int(jax.device_get(n_waves)) // self.T)
+            # always dispatch full chunks (out-of-range waves are no-ops via
+            # the validity mask) so exactly ONE chunk program is compiled
+            for w in range(0, n_super, self.WAVE_CHUNK):
+                acc = self._wave_chunk_jit(
+                    pts_em, digits, order, sortedb, bucket_start,
+                    jnp.int32(w), acc, self.WAVE_CHUNK, tdef,
+                )
+        wsums = self._reduce_jit(acc, nb, S)
         return self._horner_jit(wsums, c)
 
 

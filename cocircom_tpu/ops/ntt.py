@@ -24,11 +24,16 @@ from .field import Field
 
 
 class NTTEngine:
+    # smallest log-size routed to the four-step Pallas path on TPU: below
+    # this the per-stage program is already compile-cached and cheap
+    PALLAS_MIN_LOG = 12
+
     def __init__(self, f: Field, host: HostField):
         assert f.p == host.p
         self.f = f
         self.host = host
         self._ntt_jit = jax.jit(self._ntt, static_argnums=(1, 2))
+        self._fourstep_jit = jax.jit(self._fourstep, static_argnums=(2,))
 
     # -------------------------------------------------- twiddle tables
 
@@ -110,6 +115,25 @@ class NTTEngine:
         if inverse:
             self._n_inv(logn)
 
+    # ------------------------------------------- four-step Pallas path
+
+    @functools.lru_cache(maxsize=None)
+    def _fourstep_aux(self, logn: int, inverse: bool):
+        from .pallas_ntt import build_aux
+
+        return build_aux(self.f, self.host, logn, inverse)
+
+    def _fourstep(self, a, aux, logn: int):
+        from .pallas_ntt import fourstep_ntt
+
+        f = self.f
+        return fourstep_ntt(f, a[:, :, None], logn, aux).reshape(
+            f.L, 1 << logn
+        )
+
+    def _use_fourstep(self, a, logn: int) -> bool:
+        return logn >= self.PALLAS_MIN_LOG and self.f._pallas_ok(a, a)
+
     def ntt(self, a):
         """Forward NTT of (L, n) Montgomery coeffs -> evals (natural order)."""
         n = a.shape[1]
@@ -117,6 +141,8 @@ class NTTEngine:
         assert 1 << logn == n, "size must be a power of two"
         if n == 1:
             return a
+        if self._use_fourstep(a, logn):
+            return self._fourstep_jit(a, self._fourstep_aux(logn, False), logn)
         self._warm(logn, False)
         return self._ntt_jit(a, logn, False)
 
@@ -126,6 +152,8 @@ class NTTEngine:
         assert 1 << logn == n
         if n == 1:
             return a
+        if self._use_fourstep(a, logn):
+            return self._fourstep_jit(a, self._fourstep_aux(logn, True), logn)
         self._warm(logn, True)
         return self._ntt_jit(a, logn, True)
 

@@ -97,8 +97,8 @@ def _mul_cols(a, b_rows, L, ncols):
     captured array constants, which Pallas forbids). Column values stay
     < 2L * 2^16 < 2^21, so carries are deferred to one _carry pass.
     """
-    T = a.shape[1]
-    acc = jnp.zeros((ncols, T), jnp.uint32)
+    zpad = [(0, 0)] * (a.ndim - 1)
+    acc = jnp.zeros((ncols,) + a.shape[1:], jnp.uint32)
     if isinstance(b_rows, (list, tuple)):
         # iterate over the CONSTANT's limbs: prod_j = b[j] * a is one
         # scalar-by-(L,T) multiply per nonzero constant limb
@@ -112,9 +112,9 @@ def _mul_cols(a, b_rows, L, ncols):
             wlo = min(L, ncols - j)
             whi = min(L, ncols - j - 1)
             if wlo > 0:
-                acc = acc + jnp.pad(lo[:wlo], ((j, ncols - j - wlo), (0, 0)))
+                acc = acc + jnp.pad(lo[:wlo], [(j, ncols - j - wlo)] + zpad)
             if whi > 0:
-                acc = acc + jnp.pad(hi[:whi], ((j + 1, ncols - j - 1 - whi), (0, 0)))
+                acc = acc + jnp.pad(hi[:whi], [(j + 1, ncols - j - 1 - whi)] + zpad)
         return acc
     for i in range(L):
         prod = a[i : i + 1] * b_rows  # (L, T)
@@ -123,9 +123,9 @@ def _mul_cols(a, b_rows, L, ncols):
         wlo = min(L, ncols - i)
         whi = min(L, ncols - i - 1)
         if wlo > 0:
-            acc = acc + jnp.pad(lo[:wlo], ((i, ncols - i - wlo), (0, 0)))
+            acc = acc + jnp.pad(lo[:wlo], [(i, ncols - i - wlo)] + zpad)
         if whi > 0:
-            acc = acc + jnp.pad(hi[:whi], ((i + 1, ncols - i - 1 - whi), (0, 0)))
+            acc = acc + jnp.pad(hi[:whi], [(i + 1, ncols - i - 1 - whi)] + zpad)
     return acc
 
 

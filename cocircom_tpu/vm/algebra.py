@@ -33,6 +33,8 @@ inputs) is protected: circom --O2 happily eliminates private main inputs
 
 from __future__ import annotations
 
+import os
+
 CONST = -1  # LC key for the constant term
 
 
@@ -289,8 +291,28 @@ def simplify_constraints(constraints, forbidden, p, pos, level: int = 2):
             and (lc[sig[0]] + lc[sig[1]]) % p == 0
         )
 
+    variant = os.environ.get("COCIRCOM_SIMP_VARIANT", "gen")
+
+    def reorder(lcs):
+        if variant == "gen" or not lcs:
+            return lcs
+
+        def key(lc):
+            sig = [s for s in lc_signals(lc) if s not in forbidden]
+            return max((pos[s] for s in sig), default=-1)
+
+        if variant == "desc":
+            return sorted(lcs, key=key, reverse=True)
+        if variant == "asc":
+            return sorted(lcs, key=key)
+        if variant == "o1first":
+            return [lc for lc in lcs if is_o1(lc)] + [
+                lc for lc in lcs if not is_o1(lc)
+            ]
+        return lcs
+
     while True:
-        for lc0 in linear:
+        for lc0 in reorder(linear):
             lc = subs.apply(lc0)
             sig = [s for s in lc_signals(lc) if s not in forbidden]
             if not sig:

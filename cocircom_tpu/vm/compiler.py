@@ -54,6 +54,10 @@ class Component:
     ins: list = field(default_factory=list)
     inters: list = field(default_factory=list)
     subs: list = field(default_factory=list)  # [Component] instantiation order
+    # component VAR declarations in declaration order: (name, env) — env is
+    # held by reference so array slots filled later are visible (drives the
+    # label-order walk in compile_circom)
+    comp_vars: list = field(default_factory=list)
     sig_by_name: dict = field(default_factory=dict)  # name -> (kind, flat list, dims)
     # --- circom execution-order modelling (witness layout, see compile) ---
     args: tuple = ()  # template arguments (node identity: (template, args))
@@ -420,6 +424,8 @@ class Elaborator:
             _, name, dims_e = st
             dims = self._flat_dims(dims_e, env, comp)
             env[name] = self._make_array(dims, lambda: None) if dims else None
+            if comp is not None:
+                comp.comp_vars.append((name, env))
         elif tag == "assign":
             _, op, lhs, rhs = st
             val = self.eval(rhs, env, comp)
@@ -771,12 +777,16 @@ def compile_circom(
         if key not in node_rank or r < node_rank[key]:
             node_rank[key] = r
 
-    # ---- witness order: [1 | main: outs, PUBLIC ins, priv ins, inters |
-    # nodes by DESCENDING completion rank (main completes last -> its block
-    # is first), edges of a node in completion order, signals in declaration
-    # order]. Computed BEFORE simplification: the elimination choices are
-    # positional in this order. Validated byte-exact against the 60
-    # committed KAT witnesses. ----
+    # ---- witness order = circom's LABEL order restricted to kept signals
+    # (the r1cs wire2label maps are monotone — wire order IS label order;
+    # /root/reference/co-circom/circom-types/src/r1cs.rs:75-104). Label
+    # order is a DFS over the component tree: each component's own signals
+    # (outputs, inputs — public first at the root —, intermediates,
+    # declaration order within each bucket), then its child instances
+    # GROUPED BY TEMPLATE NAME (ascii-sorted, creation order within a
+    # group), each child visited recursively. Fitted against the committed
+    # poseidon r1cs label map + the 60 KAT witnesses; the elimination
+    # choices below are positional in this same order. ----
     order: list[Sig] = []
 
     def visit_all(c: Component):
@@ -789,13 +799,47 @@ def compile_circom(
             for _name, flat, _dims in bucket:
                 order.extend(flat)
 
-    visit_all(root)
-    others = [c for c in el._created if c is not root]
-    others.sort(
-        key=lambda c: (-node_rank[(c.template, c.args)], act[id(c)])
-    )
-    for c in others:
-        visit_all(c)
+    layout = os.environ.get("COCIRCOM_LAYOUT", "label")
+    if layout.startswith("label"):
+        visited: set[int] = set()
+
+        def children(c: Component) -> list[Component]:
+            """Child instances: component vars (ascii-sorted names, array
+            index order within a var), then any stragglers by creation."""
+            cvars = list(c.comp_vars)
+            if layout != "label_decl":
+                cvars.sort(key=lambda nv: nv[0])
+            out, seen = [], set()
+            for name, env in cvars:
+                for inst in Elaborator._flatten(env.get(name)):
+                    if isinstance(inst, Component) and id(inst) not in seen:
+                        seen.add(id(inst))
+                        out.append(inst)
+            for kind, k in c.local_events:
+                if kind == "create" and id(k) not in seen:
+                    seen.add(id(k))
+                    out.append(k)
+            return out
+
+        def walk(c: Component):
+            visited.add(id(c))
+            visit_all(c)
+            for s in children(c):
+                if id(s) not in visited:
+                    walk(s)
+
+        walk(root)
+        for c in el._created:  # components with no recorded parent
+            if id(c) not in visited:
+                walk(c)
+    else:  # "completion": the round-2 replay rule, kept for comparison
+        visit_all(root)
+        others = [c for c in el._created if c is not root]
+        others.sort(
+            key=lambda c: (-node_rank[(c.template, c.args)], act[id(c)])
+        )
+        for c in others:
+            visit_all(c)
     pos = {s.uid: i for i, s in enumerate(order)}
 
     # ---- O2 constraint simplification -> kept signal set ----

@@ -152,13 +152,15 @@ def test_range_constraint_sorted_list():
             PolyTriple(a=1, b=2, c=3, q_l=1, q_r=1, q_o=prover.P - 1))
         builder = UltraCircuitBuilder(af, [0, val, 2, val + 2])
         builder.create_new_range_constraint(1, 10)
-        return create_keys(builder, TestCrs())
+        return builder, create_keys(builder, TestCrs())
 
-    pk, vk = build(7)
+    b, (pk, vk) = build(7)
+    assert not b.failed
     proof = prover.prove(pk)
     assert verifier.verify(proof, vk)
 
-    pk_bad, vk_bad = build(25)  # 25 > 10: out of range
+    b_bad, (pk_bad, vk_bad) = build(25)  # 25 > 10: out of range
+    assert b_bad.failed  # bb failure flag raised at construction
     assert not verifier.verify(prover.prove(pk_bad), vk_bad)
 
 

@@ -23,49 +23,23 @@ from cocircom_tpu.vm.mpc_vm import WitnessExtension
 TV = "/root/reference/test_vectors/WitnessExtension"
 pytestmark = pytest.mark.skipif(not os.path.isdir(TV), reason="no reference vectors")
 
-# circuits whose witness layout matches circom --O2 byte-exactly today.
-# The compiler now runs the full constraint-level simplification
-# (vm/algebra.py): every KAT matches circom's witness LENGTH (the kept-signal
-# COUNT is exact on all 60), and these 35 match byte-for-byte. The remaining
-# 25 differ only in circom's block ordering / pivot tie-breaks for deep
-# component trees (see docs/O2_LAYOUT_NOTES.md for the reverse-engineering
-# evidence, incl. the r1cs wire2label analysis).
-BYTE_EXACT = {
-    "aliascheck_test",
-    "babyadd_tester",
-    "babycheck_test",
-    "binsub_test",
-    "binsum_test",
-    "constants_test",
-    "control_flow",
-    "edwards2montgomery",
-    "escalarmulw4table_test",
-    "escalarmulw4table_test3",
-    "functions",
-    "greatereqthan",
-    "greaterthan",
-    "isequal",
-    "iszero",
-    "lesseqthan",
-    "lessthan",
-    "mimc_hasher",
-    "mimc_sponge_hash_test",
-    "mimc_sponge_test",
-    "mimc_test",
-    "montgomery2edwards",
-    "montgomeryadd",
-    "montgomerydouble",
-    "multiplier16",
-    "mux1_1",
-    "mux2_1",
-    "mux3_1",
-    "mux4_1",
-    "pedersen_hasher",
-    "shared_control_flow",
-    "shared_control_flow_arrays",
-    "sign_test",
-    "sqrt_test",
-    "sum_test",
+# Circuits NOT yet byte-exact vs circom --O2. The compiler reproduces
+# circom's LABEL order (witness order = kept signals sorted by label — the
+# r1cs wire2label maps are monotone; fitted in compile_circom) and the full
+# constraint-level simplification (vm/algebra.py): every KAT matches
+# circom's witness LENGTH, and 52/60 match byte-for-byte. The remaining 8
+# differ in the elimination pivot choice inside big linear clusters
+# (poseidon t>=6 partial rounds keep a different lane than the
+# max-position rule picks — see docs/O2_LAYOUT_NOTES.md).
+NOT_BYTE_EXACT = {
+    "eddsa_verify",
+    "eddsaposeidon_test",
+    "pedersen_test",
+    "poseidon6_test",
+    "poseidon_hasher16",
+    "poseidonex_test",
+    "sha256_test448",
+    "sha256_test512",
 }
 
 
@@ -100,7 +74,7 @@ def test_kat_host_witness(name, driver):
     # the simplification engine must reproduce circom's kept-signal COUNT on
     # every circuit (regression fence for vm/algebra.py)
     assert len(got) == len(want), f"witness length {len(got)} vs {len(want)}"
-    if name in BYTE_EXACT:
+    if name not in NOT_BYTE_EXACT:
         assert got == want, f"byte-exact regression: n={len(got)}"
     else:
         no = circuit.n_outputs
