@@ -254,6 +254,4 @@ def _from_ints(pt):
 def _mul_ints(pt, s: int):
     if isinstance(pt, tuple) and pt and isinstance(pt[0], int):
         pt = _from_ints(pt)
-    elif pt is not None and not isinstance(pt[0], int) and not hasattr(pt[0], "p"):
-        pass
     return ec_mul(pt, s % P) if pt is not None else None

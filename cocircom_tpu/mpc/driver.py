@@ -55,8 +55,9 @@ class Driver:
         self.g1 = g1_ops(curve)
         self.g2 = g2_ops(curve)
         self.ntt = ntt_engine(self.fr, curve.fr)
-        self.msm_g1_engine = msm_engine(self.g1)
-        self.msm_g2_engine = msm_engine(self.g2)
+        bits = curve.fr.p.bit_length()
+        self.msm_g1_engine = msm_engine(self.g1, scalar_bits=bits)
+        self.msm_g2_engine = msm_engine(self.g2, scalar_bits=bits)
 
     # ---- helpers shared by drivers ----
 

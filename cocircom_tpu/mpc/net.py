@@ -148,22 +148,27 @@ class Network:
 
 
 class LocalNetwork(Network):
-    """In-process queue mesh (one object per party, shared queue table)."""
+    """In-process queue mesh (one object per party, shared queue table).
 
-    def __init__(self, pid: int, n: int, queues, counters):
+    device=True keeps payloads as device arrays (zero-copy handoff for
+    co-located parties sharing one chip — the bench deployment); the
+    default materializes to host numpy like a real wire would."""
+
+    def __init__(self, pid: int, n: int, queues, counters, device=False):
         self.id = pid
         self.n_parties = n
         self._queues = queues
         self._counters = counters
+        self._device = device
 
     @classmethod
-    def create(cls, n: int = 3) -> list["LocalNetwork"]:
+    def create(cls, n: int = 3, device: bool = False) -> list["LocalNetwork"]:
         queues = {(i, j): queue.Queue() for i in range(n) for j in range(n) if i != j}
         counters = {"sent": [0] * n, "recv": [0] * n}
-        return [cls(i, n, queues, counters) for i in range(n)]
+        return [cls(i, n, queues, counters, device) for i in range(n)]
 
     def send(self, to: int, obj: Any) -> None:
-        host_obj = _to_host(obj)
+        host_obj = obj if self._device else _to_host(obj)
         self._counters["sent"][self.id] += _nbytes(host_obj)
         self._queues[(self.id, to)].put(host_obj)
 

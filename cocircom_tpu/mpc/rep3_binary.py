@@ -93,6 +93,22 @@ class Rep3Binary:
         """r_self ^ r_prev over bitlen bits (zero-sum XOR mask; ChaCha12)."""
         return self.d.rngs.binary_mask(self.f, self.bitlen, batch)
 
+    def zeros(self, batch=()) -> Rep3BinaryShare:
+        z = jnp.zeros((self.f.L,) + tuple(batch), jnp.uint32)
+        return Rep3BinaryShare(z, z)
+
+    def promote_public(self, pub_bits) -> Rep3BinaryShare:
+        """Public (L, *batch) standard-form bits as an XOR share: party 0
+        holds the value in `a`, party 1 sees it as prev's share in `b`
+        (x = a0 ^ a1 ^ a2 with a1 = a2 = 0 — the same convention as the
+        arithmetic promote_public, rep3.py:133)."""
+        z = jnp.zeros_like(pub_bits)
+        if self.d.id == 0:
+            return Rep3BinaryShare(pub_bits, z)
+        if self.d.id == 1:
+            return Rep3BinaryShare(z, pub_bits)
+        return Rep3BinaryShare(z, z)
+
     def xor(self, x: Rep3BinaryShare, y: Rep3BinaryShare):
         return Rep3BinaryShare(x.a ^ y.a, x.b ^ y.b)
 

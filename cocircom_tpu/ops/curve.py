@@ -187,10 +187,11 @@ class Fq2Lane:
 class CurveOps:
     """Complete-formula point arithmetic over a field lane."""
 
-    def __init__(self, lane, b_host, name: str = "G"):
+    def __init__(self, lane, b_host, name: str = "G", gen_host=None):
         self.lane = lane
         self.name = name
         self.b_host = b_host
+        self.gen_host = gen_host  # host affine generator (bucket-init base)
         if isinstance(b_host, tuple):
             self.b3_host = tuple((3 * c) % lane.f.p for c in b_host)
         else:
@@ -384,10 +385,10 @@ class CurveOps:
 @functools.lru_cache(maxsize=None)
 def g1_ops(curve: CurveParams) -> CurveOps:
     f = get_field(curve.fq.p, curve.name + ".fq")
-    return CurveOps(FqLane(f), curve.b, curve.name + ".G1")
+    return CurveOps(FqLane(f), curve.b, curve.name + ".G1", curve.g1_gen)
 
 
 @functools.lru_cache(maxsize=None)
 def g2_ops(curve: CurveParams) -> CurveOps:
     f = get_field(curve.fq.p, curve.name + ".fq")
-    return CurveOps(Fq2Lane(f), curve.b2, curve.name + ".G2")
+    return CurveOps(Fq2Lane(f), curve.b2, curve.name + ".G2", curve.g2_gen)

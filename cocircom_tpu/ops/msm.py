@@ -94,16 +94,29 @@ def _top_window_packing(nbits: int, c: int):
 
 
 class MSM:
-    def __init__(self, ops: CurveOps, c: int | None = None, t: int | None = None):
+    def __init__(self, ops: CurveOps, c: int | None = None, t: int | None = None,
+                 scalar_bits: int | None = None):
         self.ops = ops
         self.c = c
+        # actual scalar bit-length (e.g. 254 for BN254 Fr). Passing the raw
+        # limb width (256) overstates the top window's digit support and
+        # leaves its bucket runs unbalanced (the packed-window fix below
+        # sizes segments from this number).
+        self.scalar_bits = scalar_bits
         # rank-split factor: ranks processed per bucket per wave
         self.T = t or int(os.environ.get("COCIRCOM_MSM_T", "8"))
         self._prepare_jit = jax.jit(self._prepare, static_argnums=(1, 2))
         self._emajor_jit = jax.jit(self._emajor)
-        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=(7, 8))
+        self._wave_chunk_jit = jax.jit(self._wave_chunk, static_argnums=(8,))
         self._reduce_jit = jax.jit(self._reduce, static_argnums=(1, 2))
         self._horner_jit = jax.jit(self._horner, static_argnums=1)
+        self._affine_em_jit = jax.jit(self._affine_em)
+        self._wave_chunk_madd_jit = jax.jit(
+            self._wave_chunk_madd, static_argnums=(8,)
+        )
+        self._jac_to_homog_jit = jax.jit(self._jac_to_homog)
+        self._Daff = None
+        self._corr: dict = {}
 
     # number of waves executed per device dispatch in the phased driver:
     # one dispatch through the axon tunnel costs ~ms of latency, so a
@@ -211,8 +224,12 @@ class MSM:
         return ops.select(valid, added, acc)
 
     def _wave_chunk(self, pts_em, digits, order, sortedb,
-                    bucket_start, w0, acc, n_steps: int, tdef):
-        """Run n_steps consecutive waves on-device (one dispatch)."""
+                    bucket_start, w0, acc, n_steps, tdef):
+        """Run n_steps consecutive waves on-device (one dispatch).
+
+        n_steps is a TRACED scalar (fori_loop lowers to a while): one
+        compiled program serves every wave count, and the dispatch runs
+        exactly n_super waves instead of rounding up to a static chunk."""
 
         def body(i, a):
             return self._wave_step(
@@ -221,6 +238,111 @@ class MSM:
             )
 
         return jax.lax.fori_loop(0, n_steps, body, acc)
+
+    # ------------------------------------------- phase 2': mixed-add waves
+    # On the TPU the wave update uses Jacobian += affine (11 muls vs 14,
+    # 2-coord gathers vs 3, in-kernel transpose of the gathered rows —
+    # ops/pallas_curve.py ec_madd_pallas). The incomplete formula is made
+    # safe by initializing every bucket lane with D = salt*G (unknown
+    # dlog w.r.t. the inputs): the doubling/infinity cases would require
+    # an accidental dlog relation. The known init contribution
+    # E*D (E = T * sum_w 2^{cw} * sum of that row's reduce weights) is
+    # subtracted after Horner.
+
+    _INIT_SALT = 0x1BD69C075F23E2A8B5D4C1E06F9A3D7C4B28E5160D3F7A9C815E2B46D90374F1
+
+    def _use_madd(self, points) -> bool:
+        from .curve import FqLane
+
+        ln = self.ops.lane
+        if self.ops.gen_host is None or not isinstance(ln, FqLane):
+            return False
+        if os.environ.get("COCIRCOM_FORCE_MADD"):
+            return True
+        return ln.f._pallas_ok(points.x, points.x)
+
+    @staticmethod
+    def _int_limbs16(v: int):
+        out = []
+        while v:
+            out.append(v & 0xFFFF)
+            v >>= 16
+        return np.asarray(out or [0], np.uint32)
+
+    def _init_affine(self):
+        """(Dx, Dy) Montgomery limbs (L,) of the bucket-init point D."""
+        if self._Daff is None:
+            ops = self.ops
+            g = ops.encode_points([ops.gen_host])
+            eb = self._int_limbs16(self._INIT_SALT)
+            D = ops.scalar_mul(g, jnp.asarray(eb)[:, None], nbits=16 * len(eb))
+            ax, ay = ops.to_affine_limbs(D)
+            self._Daff = (ax[:, 0], ay[:, 0])
+        return self._Daff
+
+    def _affine_em(self, points: ProjPoint):
+        """(N, 2L) element-major affine rows (identity -> (0,0))."""
+        ax, ay = self.ops.to_affine_limbs(points)
+        return jnp.concatenate([ax, ay], axis=0).T
+
+    def _wave_step_madd(self, pts_em, digits, order, sortedb, bucket_start,
+                        w, acc, interpret):
+        T = self.T
+        nw, Kp1 = bucket_start.shape
+        n = sortedb.shape[1]
+        bidx = jnp.arange(Kp1, dtype=jnp.int32)[None, :, None]
+        ranks = jnp.arange(T, dtype=jnp.int32)[None, None, :]
+        pos = bucket_start[:, :, None] + (w * T + ranks)
+        flat = pos.reshape(nw, Kp1 * T)
+        safe = jnp.clip(flat, 0, n - 1)
+        sb = jnp.take_along_axis(sortedb, safe, axis=1).reshape(nw, Kp1, T)
+        valid = (pos < n) & (sb == bidx) & (bidx > 0)
+        src = jnp.take_along_axis(order, safe, axis=1)
+        rows = jnp.take(pts_em, src.reshape(-1), axis=0)  # (width, 2L)
+        dsel = jnp.take_along_axis(digits, src, axis=1).reshape(nw, Kp1, T) < 0
+        from .pallas_curve import ec_madd_pallas
+
+        return ec_madd_pallas(self.ops, acc, rows, dsel, valid, interpret)
+
+    def _wave_chunk_madd(self, pts_em, digits, order, sortedb, bucket_start,
+                         w0, acc, n_steps, interpret):
+        def body(i, a):
+            return self._wave_step_madd(
+                pts_em, digits, order, sortedb, bucket_start, w0 + i, a,
+                interpret,
+            )
+
+        return jax.lax.fori_loop(0, n_steps, body, acc)
+
+    def _jac_to_homog(self, acc: ProjPoint) -> ProjPoint:
+        """Jacobian (X, Y, Z) -> homogeneous (X*Z, Y, Z^3) for the
+        complete-formula reduction phases."""
+        f = self.ops.lane.f
+        z2 = f.mont_mul(acc.z, acc.z)
+        return ProjPoint(
+            f.mont_mul(acc.x, acc.z), acc.y, f.mont_mul(z2, acc.z)
+        )
+
+    def _madd_correction(self, nbits: int, c: int) -> ProjPoint:
+        """E*D where E totals the D-inits that survive into the reduction."""
+        key = (nbits, c)
+        if key not in self._corr:
+            nw, nb, S = _top_window_packing(nbits, c)
+            K = 1 << (c - 1)
+            w_full = K * (K + 1) // 2
+            w_top = S * nb * (nb - 1) // 2 if nb != K + 1 else w_full
+            E = self.T * sum(
+                (1 << (c * w)) * (w_top if w == nw - 1 else w_full)
+                for w in range(nw)
+            )
+            Dx, Dy = self._init_affine()
+            one = self.ops.lane.one(())
+            D = ProjPoint(Dx, Dy, one)
+            eb = self._int_limbs16(E)
+            self._corr[key] = self.ops.scalar_mul(
+                D, jnp.asarray(eb), nbits=16 * len(eb)
+            )
+        return self._corr[key]
 
     # ------------------------------------------------ phase 3: reduction
 
@@ -233,13 +355,16 @@ class MSM:
         acc = ops.sum(acc, axis=3)  # fold the T rank-split partials
         Kp1 = jax.tree.leaves(acc)[0].shape[2]
 
-        full = jax.tree.map(lambda a: a[:, :-1], acc)
-        tail = jax.tree.map(lambda a: a[:, :, 1:], full)  # (L, nw-1, K)
+        # when the top window has full digit support (nb == K+1) it is an
+        # ordinary row and reduces with the rest; otherwise it is packed
+        # (seg*nb + digit lanes) and needs its own weighted reduction
+        full = acc if nb == Kp1 else jax.tree.map(lambda a: a[:, :-1], acc)
+        tail = jax.tree.map(lambda a: a[:, :, 1:], full)
         suffix = ops.suffix_sums(tail, axis=2)
         suffix2 = ops.suffix_sums(suffix, axis=2)
         wsums = jax.tree.map(lambda a: jnp.take(a, 0, axis=2), suffix2)
 
-        if nb == Kp1:  # top row is a full window too
+        if nb == Kp1:
             return wsums
         top = jax.tree.map(
             lambda a: a[:, -1, : S * nb].reshape(a.shape[0], S, nb), acc
@@ -307,13 +432,25 @@ class MSM:
         n = scalar_limbs.shape[1]
         if n == 0:
             return self.ops.identity(())
-        nbits = nbits or 16 * scalar_limbs.shape[0]
+        nbits = nbits or self.scalar_bits or 16 * scalar_limbs.shape[0]
         chunk = 1 << self.CHUNK_LOG
         c = self._window_c(min(n, chunk))
         K = 1 << (c - 1)
         _, nb, S = _top_window_packing(nbits, c)
         nw = -(-(nbits + 1) // c)
-        acc = self.ops.identity((nw, K + 1, self.T))
+        use_madd = self._use_madd(points)
+        interp = os.environ.get("COCIRCOM_FORCE_MADD") == "interpret"
+        ln = self.ops.lane
+        shape = (nw, K + 1, self.T)
+        if use_madd:
+            Dx, Dy = self._init_affine()
+            acc = ProjPoint(
+                ln.broadcast_to(Dx[:, None, None, None], shape),
+                ln.broadcast_to(Dy[:, None, None, None], shape),
+                ln.one(shape),
+            )
+        else:
+            acc = self.ops.identity(shape)
         tdef = jax.tree.structure(points)
         for lo in range(0, n, chunk):
             hi = min(lo + chunk, n)
@@ -322,19 +459,28 @@ class MSM:
             digits, order, sortedb, bucket_start, n_waves = self._prepare_jit(
                 sl, nbits, c
             )
-            pts_em = self._emajor_jit(pts)
-            n_super = -(-int(jax.device_get(n_waves)) // self.T)
-            # always dispatch full chunks (out-of-range waves are no-ops via
-            # the validity mask) so exactly ONE chunk program is compiled
-            for w in range(0, n_super, self.WAVE_CHUNK):
-                acc = self._wave_chunk_jit(
-                    pts_em, digits, order, sortedb, bucket_start,
-                    jnp.int32(w), acc, self.WAVE_CHUNK, tdef,
+            # n_waves stays on-device: no host round-trip between chunks
+            n_super = ((n_waves + self.T - 1) // self.T).astype(jnp.int32)
+            if use_madd:
+                acc = self._wave_chunk_madd_jit(
+                    self._affine_em_jit(pts), digits, order, sortedb,
+                    bucket_start, jnp.int32(0), acc, n_super, interp,
                 )
+            else:
+                acc = self._wave_chunk_jit(
+                    self._emajor_jit(pts), digits, order, sortedb,
+                    bucket_start, jnp.int32(0), acc, n_super, tdef,
+                )
+        if use_madd:
+            acc = self._jac_to_homog_jit(acc)
         wsums = self._reduce_jit(acc, nb, S)
-        return self._horner_jit(wsums, c)
+        res = self._horner_jit(wsums, c)
+        if use_madd:
+            res = self.ops.add(res, self.ops.neg(self._madd_correction(nbits, c)))
+        return res
 
 
 @functools.lru_cache(maxsize=None)
-def msm_engine(ops: CurveOps, c: int | None = None, t: int | None = None) -> MSM:
-    return MSM(ops, c, t)
+def msm_engine(ops: CurveOps, c: int | None = None, t: int | None = None,
+               scalar_bits: int | None = None) -> MSM:
+    return MSM(ops, c, t, scalar_bits)

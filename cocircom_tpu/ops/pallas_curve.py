@@ -217,3 +217,111 @@ def _b3_limbs(ops):
     f = ops.lane.f
     enc = f._int_to_limbs_np((ops.b3_host * f.R) % f.p)
     return tuple(int(v) for v in enc.reshape(-1))
+
+
+# ---------------------------------------------------------------- mixed add
+# Jacobian += affine (madd-2007-bl, 11 Montgomery muls vs 14 for the
+# complete RCB formula) for the MSM wave loop. Incomplete: the doubling
+# case (acc's affine x equals the point) and acc-at-infinity are NOT
+# handled — the MSM initializes every bucket lane with a fixed point D of
+# unknown discrete log w.r.t. the inputs (ops/msm.py), so hitting either
+# case implies solving a dlog relation. The gathered points arrive
+# ELEMENT-MAJOR ((lanes, 2L) rows, straight from the embedding-style
+# gather) and are transposed to limb-major inside the kernel, saving the
+# XLA HBM transpose pass (~1/3 of the gather cost, scripts/probe_gather.py).
+
+
+def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks):
+    p_limbs = [int(v) for v in p_limbs]
+    np_limbs = [int(v) for v in np_limbs]
+
+    def kernel(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz):
+        X1, Y1, Z1 = x1r[:], y1r[:], z1r[:]
+
+        def mul(a, b):
+            return _mont_core(a, b, L, p_limbs, np_limbs, ks)
+
+        def add(x, y):
+            return _add_mod(x, y, p_limbs, L)
+
+        def sub(x, y):
+            return _sub_mod(x, y, p_limbs, L)
+
+        t = rows[:].T  # (2L, T): in-VMEM transpose of the gathered rows
+        x2 = t[:L]
+        y2 = t[L:]
+        zero = jnp.zeros_like(x2)
+        y2n = jnp.where(neg[:] != 0, _sub_mod(zero, y2, p_limbs, L), y2)
+        # affine identity is encoded (0, 0) by to_affine_limbs
+        inf2 = jnp.all((x2 == 0) & (y2 == 0), axis=0, keepdims=True)
+        keep = (valid[:] != 0) & ~inf2
+
+        z1z1 = mul(Z1, Z1)
+        u2 = mul(x2, z1z1)
+        s2 = mul(y2n, mul(Z1, z1z1))
+        h = sub(u2, X1)
+        hh = mul(h, h)
+        i4 = add(add(hh, hh), add(hh, hh))
+        j = mul(h, i4)
+        r2 = sub(s2, Y1)
+        r2 = add(r2, r2)
+        v = mul(X1, i4)
+        x3 = sub(sub(mul(r2, r2), j), add(v, v))
+        y1j = mul(Y1, j)
+        y3 = sub(mul(r2, sub(v, x3)), add(y1j, y1j))
+        zh = add(Z1, h)
+        z3 = sub(sub(mul(zh, zh), z1z1), hh)
+        ox[:] = jnp.where(keep, x3, X1)
+        oy[:] = jnp.where(keep, y3, Y1)
+        oz[:] = jnp.where(keep, z3, Z1)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_madd_call(field, n, tile, interpret, ks):
+    L = field.L
+    kernel = _make_ec_madd_kernel(L, field.p_limbs, field.nprime_limbs, ks)
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((tile, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(n // tile,),
+        in_specs=[spec, spec, spec, rspec, mspec, mspec],
+        out_specs=(spec, spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None,
+    )
+
+
+def ec_madd_pallas(ops, acc: ProjPoint, rows, neg, valid,
+                   interpret: bool = False) -> ProjPoint:
+    """Jacobian acc += (affine rows as (n, 2L) element-major), masked.
+
+    acc: JACOBIAN ProjPoint with (L, *batch) coords; rows: gathered affine
+    points, row i = [x limbs | y limbs]; neg/valid: bool (*batch)."""
+    f = ops.lane.f
+    L = f.L
+    batch = ops.lane.batch_shape(acc.x)
+    coords = [jnp.broadcast_to(c, (L,) + batch) for c in acc]
+    flat, _, n = _flatten(coords, L)
+    rows2 = rows.reshape(n, 2 * L)
+    masks = [m.astype(jnp.uint32).reshape(1, n) for m in (neg, valid)]
+    tile, pad = _tile_pad(n)
+    if pad:
+        flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
+        rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
+        masks = [jnp.pad(m, ((0, 0), (0, pad))) for m in masks]
+    from . import pallas_field
+
+    outs = _ec_madd_call(f, n + pad, tile, interpret, pallas_field.USE_KS)(
+        *flat, rows2, *masks
+    )
+    if pad:
+        outs = [o[:, :n] for o in outs]
+    return ProjPoint(*(o.reshape((L,) + batch) for o in outs))

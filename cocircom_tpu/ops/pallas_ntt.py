@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_field import _add_mod, _mont_core, _sub_mod
 
-KMAX = 8  # largest in-kernel transform: 2^8 points on the sublane axis
+KMAX = 7  # largest in-kernel transform: 2^7 points on the sublane axis
 TILE = 128  # lanes per grid step
 
 
@@ -56,34 +56,52 @@ def _make_ntt_kernel(L, p_limbs, np_limbs, logm: int, with_post: bool, ks):
     np_limbs = [int(v) for v in np_limbs]
     M = 1 << logm
 
-    def body(x, twprog, post):
-        T = x.shape[2]
+    def run(x_ref, twprog_ref, post_ref, o_ref, s_ref):
+        """Stage stores go to a ping-pong ref and the Montgomery core runs
+        at a CONSTANT flat (L, M/2, T) shape every stage: Mosaic allocates
+        kernel temporaries statically per distinct shape, and the naive
+        per-stage 4-D mont shapes kept 8 stages' buffers alive at once
+        (observed 193 MB scoped vmem at logm=8). Only the cheap even/odd
+        extract and interleave touch transient 4-D views."""
+        n_writes = logm + (1 if with_post else 0)
+
+        def target(k):  # k-th write (1-based); the LAST lands in o_ref
+            return o_ref if (n_writes - k) % 2 == 0 else s_ref
+
+        cur = x_ref
         for s in range(1, logm + 1):
             m = 1 << s
             half = m // 2
+            x = cur[:]
+            T = x.shape[2]
             v = x.reshape(L, M // m, m, T)
-            e = v[:, :, :half, :]
-            o = v[:, :, half:, :]
-            w = twprog[:, half:m]  # omega_{2^s}^j, j in [0, half)
-            wb = jnp.broadcast_to(w[:, None, :, None], e.shape)
-            t = _mont_core(o, wb, L, p_limbs, np_limbs, ks)
-            x = jnp.concatenate(
-                [_add_mod(e, t, p_limbs, L), _sub_mod(e, t, p_limbs, L)],
-                axis=2,
-            ).reshape(L, M, T)
-        if post is not None:
-            x = _mont_core(x, post, L, p_limbs, np_limbs, ks)
-        return x
+            e = v[:, :, :half, :].reshape(L, M // 2, T)
+            o = v[:, :, half:, :].reshape(L, M // 2, T)
+            # omega_{2^s}^j tiled over groups: (L, half) -> (L, M/2)
+            w = jnp.broadcast_to(
+                twprog_ref[:, half:m][:, None, :, None],
+                (L, M // m, half, 1),
+            ).reshape(L, M // 2, 1)
+            t = _mont_core(o, w, L, p_limbs, np_limbs, ks)
+            add = _add_mod(e, t, p_limbs, L).reshape(L, M // m, half, T)
+            sub = _sub_mod(e, t, p_limbs, L).reshape(L, M // m, half, T)
+            dst = target(s)
+            dst[:] = jnp.concatenate([add, sub], axis=2).reshape(L, M, T)
+            cur = dst
+        if with_post:
+            o_ref[:] = _mont_core(
+                cur[:], post_ref[:], L, p_limbs, np_limbs, ks
+            )
 
     if with_post:
 
-        def kernel(x_ref, twprog_ref, post_ref, o_ref):
-            o_ref[:] = body(x_ref[:], twprog_ref[:], post_ref[:])
+        def kernel(x_ref, twprog_ref, post_ref, o_ref, s_ref):
+            run(x_ref, twprog_ref, post_ref, o_ref, s_ref)
 
     else:
 
-        def kernel(x_ref, twprog_ref, o_ref):
-            o_ref[:] = body(x_ref[:], twprog_ref[:], None)
+        def kernel(x_ref, twprog_ref, o_ref, s_ref):
+            run(x_ref, twprog_ref, None, o_ref, s_ref)
 
     return kernel
 
@@ -104,8 +122,14 @@ def _ntt_call(field, logm: int, lanes: int, with_post: bool, interpret, ks):
         grid=(lanes // TILE,),
         in_specs=specs,
         out_specs=blk,
+        scratch_shapes=[pltpu.VMEM((L, M, TILE), jnp.uint32)],
         interpret=bool(interpret),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the stage pipeline peaks ~30 MB of kernel stack at logm=7;
+            # v5e has 128 MB VMEM — raise the default 16 MB scoped cap
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
         if not interpret
         else None,
     )

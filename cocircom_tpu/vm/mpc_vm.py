@@ -272,6 +272,144 @@ class WitnessExtension:
         zeros = d.promote_public(jnp.zeros((fr.L, total - 1), jnp.uint32))
         return d.concat_shares(one, zeros)
 
+    # ------------------------------------------------- BitShared analysis
+    # Values produced by bit ops and consumed ONLY by bit ops stay in the
+    # binary (XOR-shared) domain between ops — the reference's
+    # Rep3VmType::BitShared (witness_extension_impl.rs:22-29). This kills
+    # the a2b/b2a round-trips that dominate bit-decomposition circuits
+    # (each `(x >> k) & 1` chain costs ONE shared a2b of x, local shifts,
+    # one batched AND and a 2-round bit_inject, instead of 4 conversions).
+
+    BIN_OPS = {"band", "bor", "bxor"}
+
+    def _bin_analysis(self):
+        """(binary_resident keys, value bit-widths) over the whole tape."""
+        bitlen = self.d.binary.bitlen
+        consumers: dict = {}
+        producer_op: dict = {}
+        for level in self.c.levels:
+            for op, dst, ops_ in level:
+                producer_op[dst] = op
+                for pos, o in enumerate(ops_):
+                    if o[0] in ("w", "t"):
+                        consumers.setdefault(o, []).append((op, pos))
+        binres = set()
+        for key, op in producer_op.items():
+            if key[0] != "t":
+                continue  # witness slots must exit to arithmetic shares
+            if op not in self.BIN_OPS and op != "shr":
+                continue
+            if all(
+                cop in self.BIN_OPS or (cop == "shr" and pos == 0)
+                for cop, pos in consumers.get(key, [])
+            ):
+                binres.add(key)
+        width: dict = {}
+
+        def w_of(o):
+            if o[0] == "c":
+                return max(int(o[1]).bit_length(), 1)
+            return width.get(o, bitlen)
+
+        for level in self.c.levels:  # levels are topologically ordered
+            for op, dst, ops_ in level:
+                if op in self.BIN_OPS:
+                    a, b = w_of(ops_[0]), w_of(ops_[1])
+                    width[dst] = min(a, b) if op == "band" else max(a, b)
+                elif op == "shr" and ops_[1][0] == "c":
+                    width[dst] = max(w_of(ops_[0]) - int(ops_[1][1]), 0)
+        return binres, width
+
+    @staticmethod
+    def _pow2pad(lst):
+        w = max(1, 1 << (len(lst) - 1).bit_length())
+        return lst + [lst[-1]] * (w - len(lst))
+
+    def _bin_gather(self, V, Vb, operands, oidx, binres):
+        """Batched binary share for a list of operand descriptors (mixed
+        binary-resident / arithmetic / constant sources)."""
+        d = self.d
+        bny = d.binary
+        fr = d.fr
+        B = len(operands)
+        out = bny.zeros((B,))
+        bpos = [(i, oidx(o)) for i, o in enumerate(operands)
+                if o[0] != "c" and o in binres]
+        cpos = [(i, int(o[1])) for i, o in enumerate(operands) if o[0] == "c"]
+        apos = [(i, oidx(o)) for i, o in enumerate(operands)
+                if o[0] != "c" and o not in binres]
+        if bpos:
+            pos = np.asarray([p for p, _ in bpos], np.int64)
+            idx = np.asarray([x for _, x in bpos], np.int64)
+            g = jax.tree.map(lambda a: jnp.take(a, jnp.asarray(idx), axis=1), Vb)
+            out = jax.tree.map(
+                lambda o, gg: o.at[:, jnp.asarray(pos)].set(gg), out, g
+            )
+        if cpos:
+            pos = np.asarray([p for p, _ in cpos], np.int64)
+            bits = np.stack(
+                [fr._int_to_limbs_np(v % fr.p) for _, v in cpos], axis=1
+            )
+            pub = bny.promote_public(jnp.asarray(bits))
+            out = jax.tree.map(
+                lambda o, gg: o.at[:, jnp.asarray(pos)].set(gg), out, pub
+            )
+        if apos:
+            # dedup arithmetic sources: bit-decompositions consume the SAME
+            # value hundreds of times per level — convert each source once
+            uniq: dict = {}
+            for _, x in apos:
+                uniq.setdefault(x, len(uniq))
+            src = self._pow2pad(list(uniq.keys()))
+            g = d.gather(V, np.asarray(src, np.int64))
+            gb = bny.a2b(g)
+            pos = np.asarray([p for p, _ in apos], np.int64)
+            sel = np.asarray([uniq[x] for _, x in apos], np.int64)
+            out = jax.tree.map(
+                lambda o, gg: o.at[:, jnp.asarray(pos)].set(
+                    jnp.take(gg, jnp.asarray(sel), axis=1)
+                ),
+                out,
+                gb,
+            )
+        return out
+
+    def _bin_store(self, V, Vb, dst_keys, res, binres, width, oidx):
+        """Scatter batched binary results: binary-resident dsts stay in Vb;
+        the rest exit via bit_inject (1-bit) or the general b2a."""
+        d = self.d
+        bny = d.binary
+        groups = {"bin": [], "inj": [], "b2a": []}
+        for i, k in enumerate(dst_keys):
+            if k in binres:
+                groups["bin"].append(i)
+            elif width.get(k, bny.bitlen) <= 1:
+                groups["inj"].append(i)
+            else:
+                groups["b2a"].append(i)
+        for name, pos in groups.items():
+            if not pos:
+                continue
+            posp = self._pow2pad(pos)
+            sub = jax.tree.map(
+                lambda a: jnp.take(a, jnp.asarray(posp), axis=1), res
+            )
+            dsts = np.asarray([oidx(dst_keys[i]) for i in posp], np.int64)
+            if name == "bin":
+                Vb = self._scatter(Vb, dsts, sub)
+            elif name == "inj":
+                # bit_inject lifts the share COMPONENTS as field elements,
+                # so they must be masked down to the single value bit (the
+                # AND reshare re-randomizes components over all 254 bits)
+                onec = d.fr._bcast_const(
+                    d.fr._int_to_limbs_np(1), sub.a.shape[1:]
+                )
+                V = self._scatter(V, dsts, bny.bit_inject(
+                    bny.and_public(sub, onec)))
+            else:
+                V = self._scatter(V, dsts, bny.b2a(sub))
+        return V, Vb
+
     def _exec_levels(self, V):
         d = self.d
         c = self.c
@@ -280,6 +418,14 @@ class WitnessExtension:
         def oidx(o):
             k, v = o
             return v if k == "w" else c.n_vars + v
+
+        binres: set = set()
+        bwidth: dict = {}
+        Vb = None
+        if hasattr(d, "binary"):
+            binres, bwidth = self._bin_analysis()
+            if binres:
+                Vb = d.binary.zeros((c.n_vars + c.n_temps,))
 
         needs_binary = self.COMPARE | self.BINARY | {"shr", "sqrt"}
         for level in c.levels:
@@ -362,8 +508,31 @@ class WitnessExtension:
                     one = d.promote_public(fr.one_mont(jax.tree.leaves(xs)[0].shape[1:]))
                     res = d.neg(d.add(xs, one))
                 elif op in self.BINARY:
-                    xs, ys = self._operands2(V, items, oidx)
-                    res = d.binary.bitwise_arith(op, xs, ys)
+                    # binary-domain path with BitShared residency: operands
+                    # already in the XOR domain skip a2b, results consumed
+                    # only by bit ops skip b2a. NOTE (reference parity): a
+                    # chained xor/or intermediate >= p is NOT reduced until
+                    # it exits the domain, exactly like Rep3VmType::BitShared
+                    # (the exit b2a folds one mod-p reduction, valid < 2p).
+                    xb = self._bin_gather(
+                        V, Vb, [o[0] for _, o in items], oidx, binres
+                    )
+                    yb = self._bin_gather(
+                        V, Vb, [o[1] for _, o in items], oidx, binres
+                    )
+                    if op == "bxor":
+                        rb = d.binary.xor(xb, yb)
+                    elif op == "band":
+                        rb = d.binary.and_(xb, yb)
+                    else:
+                        rb = d.binary.xor(
+                            d.binary.xor(xb, yb), d.binary.and_(xb, yb)
+                        )
+                    V, Vb = self._bin_store(
+                        V, Vb, [dst for dst, _ in items], rb, binres,
+                        bwidth, oidx,
+                    )
+                    continue
                 elif op == "shl":
                     s = key[1]
                     xs, _ = self._operands2(V, items, oidx, unary=True)
@@ -377,11 +546,18 @@ class WitnessExtension:
                         res = d.mul_public(xs, two_s)
                 elif op == "shr":
                     s = key[1]
-                    xs, _ = self._operands2(V, items, oidx, unary=True)
                     if s >= 256:
+                        xs, _ = self._operands2(V, items, oidx, unary=True)
                         res = d.promote_public(fr.zeros(jax.tree.leaves(xs)[0].shape[1:]))
                     else:
-                        res = d.binary.shr_arith(xs, s)
+                        xb = self._bin_gather(
+                            V, Vb, [o[0] for _, o in items], oidx, binres
+                        )
+                        V, Vb = self._bin_store(
+                            V, Vb, [dst for dst, _ in items],
+                            d.binary.shr(xb, s), binres, bwidth, oidx,
+                        )
+                        continue
                 elif op == "pow":
                     e = key[1]
                     xs, _ = self._operands2(V, items, oidx, unary=True)

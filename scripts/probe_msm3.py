@@ -63,13 +63,14 @@ def main():
         scalars = gen_scalars(k2)
         fetch(pts)
         for c in cs:
-            eng = msm_engine(ops, c)
+            eng = msm_engine(ops, c, scalar_bits=curve.fr.p.bit_length())
             t0 = time.time()
-            r = eng.msm(pts, scalars, 16 * fr.L)
-            v = np.asarray(jax.device_get(jax.tree.leaves(r)[0])).tolist()
+            r = eng.msm(pts, scalars)
+            # compare in AFFINE coords (projective reps differ across paths)
+            v = ops.decode_points(jax.tree.map(lambda x: x[..., None], r))
             warm = time.time() - t0
             t0 = time.time()
-            r = eng.msm(pts, scalars, 16 * fr.L)
+            r = eng.msm(pts, scalars)
             fetch(r)
             hot = time.time() - t0
             emit(log_n=log_n, c=c, warm_s=round(warm, 2), hot_s=round(hot, 3),

@@ -80,10 +80,14 @@ def _bound_backend_state():
     yield
     jax.clear_caches()
 
-# serialize device compute across in-process party threads (see ComputeGate)
+# serialize device compute across in-process party threads (see ComputeGate).
+# Default OFF since round 3: the compile locks above (+ synchronous dispatch
+# + single-threaded codegen) cover the compile-vs-compile and
+# compile-vs-execute races we could reproduce; COCIRCOM_COMPUTE_GATE=1
+# restores the full serialization if the LLVM ORC JIT race ever resurfaces.
 from cocircom_tpu.mpc.net import ComputeGate  # noqa: E402
 
-ComputeGate.enabled = True
+ComputeGate.enabled = os.environ.get("COCIRCOM_COMPUTE_GATE", "0") == "1"
 
 
 def reference_available() -> bool:

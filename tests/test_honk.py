@@ -178,3 +178,23 @@ def test_range_constraint_double_tag_copy():
     pk, vk = create_keys(builder, TestCrs())
     proof = prover.prove(pk)
     assert verifier.verify(proof, vk)
+
+
+def test_own_proof_byte_fences():
+    """Pinned full-proof SHA-256 fences for every noir KAT (known-tau test
+    CRS): a transcript or sumcheck regression flips a byte-equality here
+    instead of hiding behind the Barretenberg prefix match (the full
+    byte-KAT needs the uncommitted 6 GB Aztec CRS). Regenerate the pins
+    with scripts/pin_honk_proofs.py after an INTENDED layout change."""
+    import hashlib
+    import json
+    import os
+
+    pins = json.load(open(os.path.join(os.path.dirname(__file__),
+                                       "honk_proof_hashes.json")))
+    for name in PROVABLE:
+        pk, vk = _setup(name)
+        proof = prover.prove(pk)
+        blob = b"".join(int(x).to_bytes(32, "big") for x in proof)
+        assert hashlib.sha256(blob).hexdigest() == pins[name]["sha256"], name
+        assert len(proof) == pins[name]["n"], name

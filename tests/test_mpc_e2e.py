@@ -116,3 +116,45 @@ def test_rep3_groth16_poseidon_prove_verify():
     proofs = run_parties(party)
     assert proofs[0] == proofs[1] == proofs[2]
     assert verify_groth16(vk, proofs[0], pub)
+
+
+@pytest.mark.parametrize("protocol", ["rep3", "shamir"])
+def test_mpc_groth16_bls12_381_poseidon(protocol):
+    """Completes the reference e2e matrix ({Groth16,Plonk} x {bn254,
+    bls12_381} x {multiplier2, poseidon}, e2e_tests/mod.rs:20-106): the
+    bls12_381 poseidon leg under BOTH MPC protocols."""
+    from cocircom_tpu.io.jsonio import parse_groth16_vk
+    from cocircom_tpu.io.zkey import read_groth16_zkey
+    from cocircom_tpu.snark.groth16 import CoGroth16
+    from cocircom_tpu.snark.groth16_verify import verify_groth16
+
+    base = os.path.join(TV, "Groth16", "bls12_381", "poseidon")
+    zk = read_groth16_zkey(open(os.path.join(base, "circuit.zkey"), "rb").read())
+    w = read_wtns(open(os.path.join(base, "witness.wtns"), "rb").read())
+    vk = parse_groth16_vk(
+        open(os.path.join(base, "verification_key.json"), "rb").read())
+    pub = parse_public_inputs(
+        open(os.path.join(base, "public.json"), "rb").read())
+    curve = curve_by_name("bls12_381")
+
+    if protocol == "rep3":
+        shares = split_witness_rep3(w, zk.n_public, seed=29)
+
+        def party(i, net):
+            d = Rep3Driver(curve, net)
+            return CoGroth16(d).prove(zk, shares[i])
+
+    else:
+        from cocircom_tpu.mpc.shamir import ShamirDriver
+        from cocircom_tpu.snark.shared import split_witness_shamir
+
+        shares = split_witness_shamir(
+            w, zk.n_public, threshold=1, n_parties=3, seed=31)
+
+        def party(i, net):
+            d = ShamirDriver(curve, net, threshold=1)
+            return CoGroth16(d).prove(zk, shares[i])
+
+    proofs = run_parties(party)
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_groth16(vk, proofs[0], pub)

@@ -109,3 +109,31 @@ def test_msm_chunked_matches_unchunked(monkeypatch):
 
 
 import jax  # noqa: E402  (used by the chunk test)
+
+@pytest.mark.parametrize("n", [7, 65])
+def test_msm_madd_path_matches_host(n, monkeypatch):
+    """The TPU mixed-add wave path (Jacobian += affine with D bucket init
+    + E*D correction) in Pallas interpret mode vs the host reference,
+    incl. identity points and zero scalars."""
+    monkeypatch.setenv("COCIRCOM_FORCE_MADD", "interpret")
+    curve = BN254
+    rng = random.Random(500 + n)
+    hostP = host_points_g1(curve, n, rng)
+    scalars = [rng.randrange(curve.fr.p) for _ in range(n)]
+    enc = [(p[0].v, p[1].v) for p in hostP]
+    if n > 2:
+        scalars[1] = 0
+        enc[3] = None  # identity point in the bases
+        hostP[3] = None
+    want = None
+    for s, p in zip(scalars, hostP):
+        if p is None:
+            continue
+        want = ec_add(want, ec_mul(p, s))
+    ops = g1_ops(curve)
+    P = ops.encode_points(enc)
+    frf = get_field(curve.fr.p)
+    eng = msm_engine(ops, 6)
+    res = eng.msm(P, jnp.asarray(frf.to_limbs(scalars)))
+    got = ops.decode_points(_exp(res))[0]
+    assert got == (want[0].v, want[1].v)

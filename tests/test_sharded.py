@@ -93,3 +93,56 @@ def test_sharded_ntt_matches_single_device():
         want = np.asarray(jax.device_get(eng.ntt(a)))
         got = np.asarray(jax.device_get(dist(a)))
         assert (want == got).all()
+
+
+@requires_multi
+def test_sharded_ntt_matches_engine_2e14():
+    """Distributed four-step NTT vs the single-device engine at a REAL size
+    (2^14), bit-exact (VERDICT round-2 weak #5)."""
+    from cocircom_tpu.ops.ntt import ntt_engine
+    from cocircom_tpu.parallel.sharded import sharded_ntt
+
+    curve = BN254
+    frf = get_field(curve.fr.p, curve.name + ".fr")
+    eng = ntt_engine(frf, curve.fr)
+    n = 1 << 14
+    rng = np.random.default_rng(7)
+    a = frf.to_mont(jnp.asarray(
+        rng.integers(0, 1 << 16, size=(frf.L, n), dtype=np.uint32) & 0x3FFF))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dist = sharded_ntt(frf, curve.fr, mesh)
+    got = dist(a)
+    eng._warm(14, False)
+    want = eng._ntt_jit(a, 14, False)
+    assert jnp.array_equal(got, want)
+
+
+@requires_multi
+def test_sharded_msm_matches_single_device_2e12():
+    """Sharded MSM vs the single-device engine at 2^12 points (affine
+    comparison — projective representations differ)."""
+    curve = BN254
+    ops = g1_ops(curve)
+    frf = get_field(curve.fr.p)
+    n = 1 << 12
+    key = jax.random.key(5)
+    k1, k2 = jax.random.split(key)
+    gen = ops.encode_points([curve.g1_gen])
+    genb = jax.tree.map(
+        lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], n)), gen)
+    small = jax.random.bits(k1, (1, n), jnp.uint32) & 0x7FFF | 1
+    P = ops.scalar_mul(genb, small, nbits=16)
+    s = jax.random.bits(k2, (frf.L, n), jnp.uint32) & 0xFFFF
+    sl = s.at[frf.L - 1].set(s[frf.L - 1] & 0x3FFF)
+
+    from cocircom_tpu.ops.msm import msm_engine
+    from cocircom_tpu.parallel.sharded import sharded_msm
+
+    eng = msm_engine(ops, scalar_bits=curve.fr.p.bit_length())
+    want = ops.decode_points(
+        jax.tree.map(lambda c: c[..., None], eng.msm(P, sl)))[0]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    fn = sharded_msm(ops, mesh)
+    got = ops.decode_points(
+        jax.tree.map(lambda c: c[..., None], fn(P, sl)))[0]
+    assert got == want

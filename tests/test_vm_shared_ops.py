@@ -37,9 +37,14 @@ def _run_rep3(name):
 
     flat = []
     slots = []
-    for nm, sl in circuit.input_slots.items():
-        flat.extend(flatten_inputs(inputs[nm]) if nm in inputs else flatten_inputs(inputs["in"]))
-        slots.extend(sl)
+    if all(nm in inputs for nm in circuit.input_slots):
+        for nm, sl in circuit.input_slots.items():
+            flat.extend(flatten_inputs(inputs[nm]))
+            slots.extend(sl)
+    else:  # flat "in" binding over all inputs in slot order (rep3.rs:81-99)
+        flat = flatten_inputs(inputs["in"])
+        slots = [s for sl in circuit.input_slots.values() for s in sl]
+        assert len(flat) == len(slots)
     shares = share_field_vec(FR, FR.encode(flat), seed=31337)
 
     def party(i, net):
@@ -55,7 +60,38 @@ def _run_rep3(name):
 
 
 # lessthan: signed comparisons (a2b Kogge-Stone); binsum: shr/band bit
-# decomposition; sqrt_test: masked-open sqrt + sign correction
-@pytest.mark.parametrize("name", ["lessthan", "binsum_test", "sqrt_test"])
+# decomposition (BitShared residency); sqrt_test: masked-open sqrt + sign
+# correction; aliascheck: 254-bit Num2Bits under shares
+@pytest.mark.parametrize(
+    "name", ["lessthan", "binsum_test", "sqrt_test", "aliascheck_test"]
+)
 def test_rep3_bit_heavy_kats(name):
+    _run_rep3(name)
+
+
+def _all_kat_names():
+    names = []
+    for f in sorted(os.listdir(os.path.join(TV, "tests"))):
+        if f.endswith(".circom") and os.path.isdir(
+            os.path.join(TV, "kats", f[:-7])
+        ):
+            names.append(f[:-7])
+    return names
+
+
+FAST = {"lessthan", "binsum_test", "sqrt_test", "aliascheck_test"}
+
+
+# The reference runs its whole circuit corpus through 3-party witness
+# extension (tests/tests/circom/witness_extension_tests/rep3.rs:103-254).
+# The full sweep is SLOW-gated (sha256/eddsa/smt are minutes each 3-party);
+# CI runs it nightly via COCIRCOM_SLOW_TESTS=1.
+@pytest.mark.skipif(
+    os.environ.get("COCIRCOM_SLOW_TESTS") != "1",
+    reason="full 3-party corpus sweep; COCIRCOM_SLOW_TESTS=1",
+)
+@pytest.mark.parametrize(
+    "name", [n for n in _all_kat_names() if n not in FAST]
+)
+def test_rep3_full_corpus(name):
     _run_rep3(name)
