@@ -40,7 +40,7 @@ def _load_net(path: str):
         tls = TlsConfig(
             cfg["key_path"],
             certs[my_id],
-            [c for i, c in enumerate(certs) if i != my_id],
+            party_cert_paths={i: c for i, c in enumerate(certs)},
         )
     return my_id, addrs, tls
 

@@ -44,20 +44,37 @@ def segment_sum_mont(f: Field, values, seg_ids, num_segments: int):
 
 
 class Driver:
-    """Base: holds field/curve engines. Subclasses define share semantics."""
+    """Base: holds field/curve engines. Subclasses define share semantics.
+
+    With `mesh` (a jax.sharding.Mesh of >1 device) the FFT/MSM engines are
+    the SHARDED implementations (parallel/sharded.py): every prover MSM and
+    (i)NTT data-partitions across the mesh and reduces over ICI collectives,
+    bit-exact vs single-chip. This mirrors the reference where the FFT/MSM
+    provider traits are the protocol-level compute interface
+    (/root/reference/mpc-core/src/traits.rs:535-584)."""
 
     protocol = "abstract"
 
-    def __init__(self, curve: CurveParams):
+    def __init__(self, curve: CurveParams, mesh=None):
         self.curve = curve
         self.fr = get_field(curve.fr.p, curve.name + ".fr")
         self.fq = get_field(curve.fq.p, curve.name + ".fq")
         self.g1 = g1_ops(curve)
         self.g2 = g2_ops(curve)
-        self.ntt = ntt_engine(self.fr, curve.fr)
         bits = curve.fr.p.bit_length()
-        self.msm_g1_engine = msm_engine(self.g1, scalar_bits=bits)
-        self.msm_g2_engine = msm_engine(self.g2, scalar_bits=bits)
+        self.mesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        if self.mesh is not None:
+            from ..parallel.sharded import ShardedMSMEngine, ShardedNTTEngine
+
+            self.ntt = ShardedNTTEngine(self.fr, curve.fr, self.mesh)
+            self.msm_g1_engine = ShardedMSMEngine(
+                self.g1, self.mesh, scalar_bits=bits)
+            self.msm_g2_engine = ShardedMSMEngine(
+                self.g2, self.mesh, scalar_bits=bits)
+        else:
+            self.ntt = ntt_engine(self.fr, curve.fr)
+            self.msm_g1_engine = msm_engine(self.g1, scalar_bits=bits)
+            self.msm_g2_engine = msm_engine(self.g2, scalar_bits=bits)
 
     # ---- helpers shared by drivers ----
 
@@ -151,8 +168,8 @@ class PlainDriver(Driver):
 
     protocol = "plain"
 
-    def __init__(self, curve: CurveParams, seed: int = 0):
-        super().__init__(curve)
+    def __init__(self, curve: CurveParams, seed: int = 0, mesh=None):
+        super().__init__(curve, mesh=mesh)
         self._key = jax.random.key(seed ^ 0x9E3779B9)
 
     # ---- share algebra ----

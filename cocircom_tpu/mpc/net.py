@@ -200,7 +200,11 @@ class TcpNetwork(Network):
     Mutual TLS (the reference's rustls/QUIC posture, mpc-net/src/lib.rs:47-78):
     pass ``tls=TlsConfig(...)`` — every connection then requires the exact
     pinned peer certificate (self-signed, generated by the `gen-cert`
-    subcommand, parity mpc-net/src/bin/gen_cert.rs)."""
+    subcommand, parity mpc-net/src/bin/gen_cert.rs). The claimed party id
+    is BOUND to that party's specific pinned certificate (per-party
+    cert_path, mpc-net/src/config.rs:52-98): a holder of party 1's cert
+    cannot claim id 2 — the presented cert must byte-equal
+    party_cert_paths[claimed_id] in both connect directions."""
 
     MAX_FRAME = 1 << 30
 
@@ -244,6 +248,25 @@ class TcpNetwork(Network):
             ctx.load_verify_locations(path)
         return ctx.wrap_socket(sock, server_side=server_side)
 
+    def _cert_matches_id(self, conn, claimed_id: int) -> bool:
+        """True iff the TLS peer presented EXACTLY the certificate pinned
+        for `claimed_id`. Without this, any holder of any pinned cert could
+        claim any id (party 1 impersonating party 2 toward party 0 —
+        protocol-breaking under semi-honest-with-bad-network). The
+        reference binds party->cert via per-party config
+        (mpc-net/src/config.rs:52-98). No-op (True) when TLS is off or the
+        TlsConfig carries no per-id map (legacy construction)."""
+        if self._tls is None:
+            return True
+        want = self._tls.der_for_id(claimed_id)
+        if want is None:
+            return True
+        try:
+            got = conn.getpeercert(binary_form=True)
+        except (ssl.SSLError, OSError, AttributeError):
+            return False
+        return got == want
+
     def _connect_mesh(self, addresses, timeout):
         host, port = addresses[self.id]
         srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -267,6 +290,10 @@ class TcpNetwork(Network):
                     # wrong direction or duplicate claim — refuse
                     conn.close()
                     continue
+                if not self._cert_matches_id(conn, peer):
+                    # claimed id not backed by that party's pinned cert
+                    conn.close()
+                    continue
                 pending.discard(peer)
                 self._socks[peer] = conn
 
@@ -287,6 +314,12 @@ class TcpNetwork(Network):
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             if self._tls:
                 s = self._wrap_tls(s, False, j)
+                if not self._cert_matches_id(s, j):
+                    s.close()
+                    raise ConnectionError(
+                        f"party {j} presented a certificate that is not "
+                        f"the one pinned for id {j}"
+                    )
             s.sendall(struct.pack("<I", self.id))
             self._socks[j] = s
         acc.join(timeout)
@@ -384,12 +417,38 @@ class TcpNetwork(Network):
 class TlsConfig:
     """Mutual-TLS material for one party: own key/cert + every peer's
     pinned certificate (parity: NetworkConfig key_path/cert_path,
-    mpc-net/src/config.rs:64-98)."""
+    mpc-net/src/config.rs:64-98).
 
-    def __init__(self, key_path: str, cert_path: str, peer_cert_paths: list[str]):
+    `party_cert_paths` (preferred) maps party id -> that party's pinned
+    cert, binding claimed ids to specific certificates
+    (TcpNetwork._cert_matches_id). The legacy `peer_cert_paths` list-only
+    form still pins the trust store but cannot bind ids."""
+
+    def __init__(self, key_path: str, cert_path: str,
+                 peer_cert_paths: list[str] | None = None,
+                 party_cert_paths: dict[int, str] | list[str] | None = None):
         self.key_path = key_path
         self.cert_path = cert_path
-        self.peer_cert_paths = list(peer_cert_paths)
+        self._by_id: dict[int, str] = {}
+        if party_cert_paths is not None:
+            if isinstance(party_cert_paths, dict):
+                self._by_id = {int(k): v for k, v in party_cert_paths.items()}
+            else:
+                self._by_id = dict(enumerate(party_cert_paths))
+            self.peer_cert_paths = list(self._by_id.values())
+        else:
+            self.peer_cert_paths = list(peer_cert_paths or [])
+        self._der_cache: dict[int, bytes] = {}
+
+    def der_for_id(self, party_id: int) -> bytes | None:
+        """DER bytes of the cert pinned for `party_id` (None if unmapped)."""
+        path = self._by_id.get(party_id)
+        if path is None:
+            return None
+        if party_id not in self._der_cache:
+            with open(path) as fh:
+                self._der_cache[party_id] = ssl.PEM_cert_to_DER_cert(fh.read())
+        return self._der_cache[party_id]
 
 
 def gen_self_signed_cert(key_out: str, cert_out: str, dns_name: str = "localhost",

@@ -106,8 +106,8 @@ def combine_field_shares(f: Field, shares: list[Rep3FieldShare]):
 class Rep3Driver(Driver):
     protocol = "rep3"
 
-    def __init__(self, curve: CurveParams, net: Network):
-        super().__init__(curve)
+    def __init__(self, curve: CurveParams, net: Network, mesh=None):
+        super().__init__(curve, mesh=mesh)
         self.net = net
         self.id = net.id
         # PRF setup: exchange 256-bit seeds with the next party

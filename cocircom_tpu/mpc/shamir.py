@@ -95,8 +95,9 @@ class ShamirDriver(Driver):
     protocol = "shamir"
     KING = 0
 
-    def __init__(self, curve: CurveParams, net: Network, threshold: int = 1):
-        super().__init__(curve)
+    def __init__(self, curve: CurveParams, net: Network, threshold: int = 1,
+                 mesh=None):
+        super().__init__(curve, mesh=mesh)
         assert net.n_parties >= 2 * threshold + 1, "need n >= 2t+1"
         self.net = net
         self.id = net.id

@@ -118,6 +118,144 @@ def test_sharded_ntt_matches_engine_2e14():
 
 
 @requires_multi
+def test_cogroth16_prove_sharded_matches_single_device():
+    """VERDICT r3 #2: the sharded kernels wired into the PRODUCT prover.
+    CoGroth16.prove with a mesh-holding driver (every MSM/iFFT/coset/FFT
+    routed through parallel/sharded.py engines) must produce the same
+    proof as the single-device driver — same committed snarkjs zkey, same
+    deterministic randomness."""
+    import os
+
+    from cocircom_tpu.io.witness import read_wtns
+    from cocircom_tpu.io.zkey import read_groth16_zkey
+    from cocircom_tpu.mpc.driver import PlainDriver
+    from cocircom_tpu.snark.groth16 import CoGroth16
+    from cocircom_tpu.snark.shared import split_witness_plain
+
+    base = "/root/reference/test_vectors/Groth16/bn254/poseidon"
+    if not os.path.isdir(base):
+        pytest.skip("no reference vectors")
+    zk = read_groth16_zkey(open(f"{base}/circuit.zkey", "rb").read())
+    w = read_wtns(open(f"{base}/witness.wtns", "rb").read())
+    shared = split_witness_plain(w, zk.n_public)
+
+    want = CoGroth16(PlainDriver(BN254, seed=42)).prove(zk, shared)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    d = PlainDriver(BN254, seed=42, mesh=mesh)
+    from cocircom_tpu.parallel.sharded import (
+        ShardedMSMEngine, ShardedNTTEngine)
+
+    assert isinstance(d.msm_g1_engine, ShardedMSMEngine)
+    assert isinstance(d.ntt, ShardedNTTEngine)
+    got = CoGroth16(d).prove(zk, shared)
+    assert got == want
+
+
+@requires_multi
+def test_cogroth16_rep3_prove_on_mesh_verifies():
+    """3 REP3 parties, each driving the sharded engines over the same
+    8-device mesh (party axis x intra-party mesh axis, SURVEY 2.6 #1 x #4);
+    the opened proof must verify against the committed snarkjs vk."""
+    import os
+
+    from cocircom_tpu.fields.params import curve_by_name
+    from cocircom_tpu.io.jsonio import parse_groth16_vk, parse_public_inputs
+    from cocircom_tpu.io.witness import read_wtns
+    from cocircom_tpu.io.zkey import read_groth16_zkey
+    from cocircom_tpu.mpc.rep3 import Rep3Driver
+    from cocircom_tpu.mpc.runner import run_parties
+    from cocircom_tpu.snark.groth16 import CoGroth16
+    from cocircom_tpu.snark.groth16_verify import verify_groth16
+    from cocircom_tpu.snark.shared import split_witness_rep3
+
+    base = "/root/reference/test_vectors/Groth16/bn254/poseidon"
+    if not os.path.isdir(base):
+        pytest.skip("no reference vectors")
+    zk = read_groth16_zkey(open(f"{base}/circuit.zkey", "rb").read())
+    w = read_wtns(open(f"{base}/witness.wtns", "rb").read())
+    vk = parse_groth16_vk(open(f"{base}/verification_key.json", "rb").read())
+    pub = parse_public_inputs(open(f"{base}/public.json", "rb").read())
+    shares = split_witness_rep3(w, zk.n_public, seed=7)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def party(i, net):
+        d = Rep3Driver(curve_by_name("bn254"), net, mesh=mesh)
+        return CoGroth16(d).prove(zk, shares[i])
+
+    # Serialize device compute across the in-process party threads: the 3
+    # parties SHARE the 8 CPU devices here, and concurrently launched
+    # collective programs interleave their rendezvous (XLA CHECK-abort).
+    # Production parties are separate processes with their own mesh.
+    from cocircom_tpu.mpc.net import ComputeGate
+
+    ComputeGate.enabled = True
+    try:
+        proofs = run_parties(party)
+    finally:
+        ComputeGate.enabled = False
+    assert proofs[0] == proofs[1] == proofs[2]
+    assert verify_groth16(vk, proofs[0], pub)
+
+
+@requires_multi
+def test_sharded_intt_matches_single_device():
+    """Inverse four-step NTT over the mesh == single-device radix-2 intt,
+    bit-exact (the prover's iFFT path under a mesh)."""
+    from cocircom_tpu.ops.ntt import ntt_engine
+    from cocircom_tpu.parallel.sharded import ShardedNTTEngine
+
+    curve = BN254
+    f = get_field(curve.fr.p, curve.name + ".fr")
+    eng = ntt_engine(f, curve.fr)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dist = ShardedNTTEngine(f, curve.fr, mesh)
+    rng = random.Random(9)
+    for logn in (8, 11):
+        n = 1 << logn
+        vals = [rng.randrange(curve.fr.p) for _ in range(n)]
+        a = f.to_mont(jnp.asarray(f.to_limbs(vals)))
+        want = np.asarray(jax.device_get(eng.intt(a)))
+        got = np.asarray(jax.device_get(dist.intt(a)))
+        assert (want == got).all()
+        # round-trip through the sharded pair
+        back = np.asarray(jax.device_get(dist.ntt(dist.intt(a))))
+        assert (back == np.asarray(jax.device_get(a))).all()
+
+
+@requires_multi
+def test_sharded_msm_non_divisible_size():
+    """ShardedMSMEngine pads sizes not divisible by the mesh (zkey query
+    lengths like n_vars-1-n_public are odd) — result matches unsharded."""
+    from cocircom_tpu.ops.msm import msm_engine
+    from cocircom_tpu.parallel.sharded import ShardedMSMEngine
+
+    curve = BN254
+    ops = g1_ops(curve)
+    frf = get_field(curve.fr.p)
+    n = 333  # not a multiple of 8
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+    gen = ops.encode_points([curve.g1_gen])
+    genb = jax.tree.map(
+        lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], n)), gen)
+    small = jax.random.bits(k1, (1, n), jnp.uint32) & 0x7FFF | 1
+    P = ops.scalar_mul(genb, small, nbits=16)
+    s = jax.random.bits(k2, (frf.L, n), jnp.uint32) & 0xFFFF
+    sl = s.at[frf.L - 1].set(s[frf.L - 1] & 0x3FFF)
+
+    bits = curve.fr.p.bit_length()
+    want = ops.decode_points(jax.tree.map(
+        lambda c: c[..., None],
+        msm_engine(ops, scalar_bits=bits).msm(P, sl)))[0]
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    eng = ShardedMSMEngine(ops, mesh, scalar_bits=bits)
+    got = ops.decode_points(jax.tree.map(
+        lambda c: c[..., None], eng.msm(P, sl)))[0]
+    assert got == want
+
+
+@requires_multi
 def test_sharded_msm_matches_single_device_2e12():
     """Sharded MSM vs the single-device engine at 2^12 points (affine
     comparison — projective representations differ)."""
