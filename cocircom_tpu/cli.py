@@ -259,6 +259,24 @@ def cmd_merge_input_shares(args):
     print(f"wrote {args.out}")
 
 
+def _compile_cli(args, curve):
+    """compile_circom with the optional --r1cs layout pin: the r1cs
+    wire2label map forces the witness layout to the exact kept-set circom
+    chose when it produced that r1cs/zkey (vm/compiler.py keep_labels)."""
+    from .vm.compiler import compile_circom
+
+    kw = {}
+    r1cs_path = getattr(args, "r1cs", None)
+    if r1cs_path:
+        from .io.r1cs import read_r1cs
+
+        r1 = read_r1cs(open(r1cs_path, "rb").read())
+        kw = {"keep_labels": r1.wire_mapping[1:], "n_labels": r1.n_labels}
+    return compile_circom(
+        open(args.circuit).read(), curve, link=args.link or [], **kw
+    )
+
+
 def cmd_generate_witness(args):
     """MPC witness extension. plain: input.json -> .wtns on the host path.
     rep3: a .shared SharedInput file -> run_shared_input through the
@@ -271,7 +289,7 @@ def cmd_generate_witness(args):
 
     if args.protocol == "plain":
         curve = curve_by_name(args.curve)
-        parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
+        parsed = _compile_cli(args, curve)
         inputs = json.loads(open(args.input).read())
         d = _driver("plain", curve, None)
         vm = WitnessExtension(d, parsed)
@@ -292,7 +310,7 @@ def cmd_generate_witness(args):
     protocol, curve, si = read_shared_input(open(args.input, "rb").read())
     if protocol != "rep3":
         raise SystemExit(f"input share file is {protocol}, expected rep3")
-    parsed = compile_circom(open(args.circuit).read(), curve, link=args.link or [])
+    parsed = _compile_cli(args, curve)
     d = _driver("rep3", curve, args.net_config)
     vm = WitnessExtension(d, parsed)
     sw = vm.run_shared_input(si)
@@ -433,6 +451,11 @@ def main(argv=None):
     )
     sp.add_argument("--curve", default="bn254")
     sp.add_argument("--link", action="append", help="circom library search dir")
+    sp.add_argument(
+        "--r1cs",
+        help="snarkjs .r1cs whose wire2label map pins the witness layout "
+        "(use when proving against that r1cs's zkey)",
+    )
     sp.add_argument("--protocol", default="plain", choices=["plain", "rep3", "shamir"])
     sp.add_argument("--net-config")
     sp.add_argument("--threshold", type=int, default=1)

@@ -239,7 +239,8 @@ class SubstitutionMap:
         return out
 
 
-def simplify_constraints(constraints, forbidden, p, pos, level: int = 2):
+def simplify_constraints(constraints, forbidden, p, pos, level: int = 2,
+                         keep=None):
     """Run circom's constraint simplification.
 
     constraints: list[Constraint] in generation order.
@@ -254,11 +255,21 @@ def simplify_constraints(constraints, forbidden, p, pos, level: int = 2):
     level: 0 = none, 1 = only signal-to-signal / signal-to-constant
         substitution (circom --O1), 2 = full linear Gauss fixpoint
         (circom --O2, unlimited rounds).
+    keep: optional set of signal uids that must ALSO keep witness slots —
+        the r1cs kept-set (wire2label, circom-types/src/r1cs.rs:75-104).
+        When the target layout is known from a committed r1cs, pivoting is
+        constrained to eliminate only signals OUTSIDE this set, which
+        reproduces circom's layout exactly regardless of its internal
+        pivot heuristic (the eliminated set determines the layout; any
+        Gauss order over the same eliminated set yields equivalent
+        substitutions).
 
     Returns (kept_uids: set, subs: SubstitutionMap). kept_uids contains every
     signal that occurs in the simplified system; callers must union it with
     the forbidden set (and any unconstrainable-but-pinned signals).
     """
+    if keep:
+        forbidden = forbidden | keep
     subs = SubstitutionMap(p)
     if level == 0:
         kept = set()

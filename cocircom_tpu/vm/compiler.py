@@ -695,10 +695,18 @@ def compile_circom(
     curve: CurveParams,
     link: list[str] | None = None,
     opt: int | None = None,
+    keep_labels=None,
+    n_labels: int | None = None,
 ) -> CompiledCircuit:
     """opt: simplification level (circom --O0/--O1/--O2); default --O2, the
     reference compiler's SimplificationLevel::O2(usize::MAX)
-    (circom-mpc-compiler/src/lib.rs:56-58). Override with COCIRCOM_OPT."""
+    (circom-mpc-compiler/src/lib.rs:56-58). Override with COCIRCOM_OPT.
+
+    keep_labels: optional iterable of 1-based circom LABEL ids that must
+    keep witness slots — pass an r1cs `wire_mapping[1:]` (io/r1cs.py;
+    format: circom-types/src/r1cs.rs:75-104) to pin the witness layout to
+    the exact kept-set circom chose when it produced that r1cs/zkey,
+    sidestepping any divergence in the elimination-pivot heuristic."""
     if opt is None:
         opt = int(os.environ.get("COCIRCOM_OPT", "2"))
     link = link or []
@@ -849,13 +857,79 @@ def compile_circom(
     for name, flat, _d in root.ins:
         if name in publics:
             forbidden.update(s.uid for s in flat)
-    if opt == 0:
-        kept = set(el.sig_owner.keys())
-    else:
+    def run_simplify(keep_uids):
+        """simplify with a forced kept-set; returns (kept, subs) or None if
+        the forced set is inconsistent (signals circom eliminated cannot be
+        eliminated under this set)."""
         kept_c, subs = alg.simplify_constraints(
-            el.constraints, forbidden, el.p, pos, level=opt
+            el.constraints, forbidden, el.p, pos, level=opt,
+            keep=keep_uids,
         )
         kept = kept_c | forbidden | {u for u in el.pinned if u not in subs}
+        if keep_uids is not None:
+            if kept - keep_uids - forbidden:
+                return None
+            kept |= keep_uids
+        return kept, subs
+
+    if opt == 0:
+        kept = set(el.sig_owner.keys())
+    elif keep_labels is None:
+        kept, subs = run_simplify(None)
+    else:
+        # r1cs kept-set (wire2label): circom's label space usually equals
+        # `order` 1:1 (label l -> order[l-1]); a few circuits reserve a
+        # small unused label block (observed: Poseidon(1), 2 labels after
+        # the PoseidonEx header — docs/O2_LAYOUT_NOTES.md). n_labels tells
+        # us the total slack G; when G > 0, search the gap-block position
+        # over component-block boundaries, validating each candidate by
+        # whether the simplifier can eliminate exactly the complement.
+        labels = sorted(set(keep_labels))
+        G = (n_labels - 1 - len(order)) if n_labels else 0
+        if G < 0:
+            raise ValueError(
+                f"r1cs has {n_labels} labels but the circuit declares "
+                f"{len(order)} signals — wrong circuit?"
+            )
+
+        def uids_for(gap_at: int) -> set[int] | None:
+            s = set()
+            for lbl in labels:
+                i = lbl - 1 - (G if gap_at is not None and lbl > gap_at else 0)
+                if not 0 <= i < len(order):
+                    return None
+                s.add(order[i].uid)
+            return s
+
+        if G == 0:
+            cands = [None]
+        else:
+            # gap block starts at a component-block boundary: positions
+            # where the owning component changes in `order`
+            bounds, prev_owner = [], None
+            for i, s in enumerate(order):
+                own = el.sig_owner.get(s.uid)
+                if own is not prev_owner:
+                    bounds.append(i)  # gap sits just before order[i]
+                    prev_owner = own
+            bounds.append(len(order))
+            cands = bounds
+        result = None
+        for gap_at in cands:
+            ku = uids_for(gap_at)
+            if ku is None or len(ku) != len(labels):
+                continue
+            r = run_simplify(ku)
+            if r is not None:
+                result = r
+                break
+        if result is None:
+            raise ValueError(
+                "could not reconcile the r1cs wire2label map with this "
+                "circuit's label order (r1cs from a different circuit or "
+                "-O level?)"
+            )
+        kept, subs = result
 
     slot_of: dict[int, int] = {}
     next_slot = 1
