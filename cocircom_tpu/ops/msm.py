@@ -293,9 +293,20 @@ class MSM:
             self._Daff = (ax[:, 0], ay[:, 0])
         return self._Daff
 
+    # element-major point rows pack limb PAIRS into u32 (halves the bytes
+    # the per-wave gather reads — the gather was ~half of wave time,
+    # docs/TPU_NOTES.md); the madd kernel unpacks in VMEM.
+    PACK = bool(int(os.environ.get("COCIRCOM_MSM_PACK", "1")))
+
     def _affine_em(self, points: ProjPoint):
-        """(N, 2L) element-major affine rows (identity -> (0,0))."""
+        """Element-major affine rows (identity -> (0,0)): (N, L) packed
+        limb pairs, or (N, 2L) u16-in-u32 when COCIRCOM_MSM_PACK=0."""
         ax, ay = self.ops.to_affine_limbs(points)
+        if self.PACK:
+            def pack(c):
+                return c[0::2] | (c[1::2] << 16)
+
+            return jnp.concatenate([pack(ax), pack(ay)], axis=0).T
         return jnp.concatenate([ax, ay], axis=0).T
 
     def _wave_step_madd(self, pts_em, digits, order, sortedb, bucket_start,
@@ -315,7 +326,9 @@ class MSM:
         dsel = jnp.take_along_axis(digits, src, axis=1).reshape(nw, Kp1, T) < 0
         from .pallas_curve import ec_madd_pallas
 
-        return ec_madd_pallas(self.ops, acc, rows, dsel, valid, interpret)
+        return ec_madd_pallas(
+            self.ops, acc, rows, dsel, valid, interpret, packed=self.PACK
+        )
 
     def _wave_chunk_madd(self, pts_em, digits, order, sortedb, bucket_start,
                          w0, acc, n_steps, interpret):

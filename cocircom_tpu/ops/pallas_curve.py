@@ -31,7 +31,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .curve import ProjPoint
-from .pallas_field import MAX_TILE, _add_mod, _mont_core, _sub_mod
+from .pallas_field import (
+    MAX_TILE,
+    _add_mod,
+    _byte_mats,
+    _mont_core,
+    _mont_core_mxu,
+    _sub_mod,
+)
 
 
 def _ec_add_core(P, Q, L, p_limbs, np_limbs, b3_limbs, ks):
@@ -231,15 +238,23 @@ def _b3_limbs(ops):
 # XLA HBM transpose pass (~1/3 of the gather cost, scripts/probe_gather.py).
 
 
-def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks):
+def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False):
     p_limbs = [int(v) for v in p_limbs]
     np_limbs = [int(v) for v in np_limbs]
 
-    def kernel(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz):
+    def body(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz, mats):
         X1, Y1, Z1 = x1r[:], y1r[:], z1r[:]
 
-        def mul(a, b):
-            return _mont_core(a, b, L, p_limbs, np_limbs, ks)
+        if mxu:
+            nmat, pmat = mats
+
+            def mul(a, b):
+                return _mont_core_mxu(a, b, L, p_limbs, nmat[:], pmat[:], ks)
+
+        else:
+
+            def mul(a, b):
+                return _mont_core(a, b, L, p_limbs, np_limbs, ks)
 
         def add(x, y):
             return _add_mod(x, y, p_limbs, L)
@@ -247,9 +262,22 @@ def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks):
         def sub(x, y):
             return _sub_mod(x, y, p_limbs, L)
 
-        t = rows[:].T  # (2L, T): in-VMEM transpose of the gathered rows
-        x2 = t[:L]
-        y2 = t[L:]
+        t = rows[:].T  # in-VMEM transpose of the gathered rows
+        if packed:
+            # (L, T) u32 rows: each u32 packs limb pair (2k, 2k+1) —
+            # HALF the gathered bytes of the 2L-wide u16-in-u32 layout
+            h = L // 2
+
+            def unpack(pk):
+                lo = pk & jnp.uint32(0xFFFF)
+                hi = pk >> 16
+                return jnp.stack([lo, hi], axis=1).reshape(L, *pk.shape[1:])
+
+            x2 = unpack(t[:h])
+            y2 = unpack(t[h:])
+        else:
+            x2 = t[:L]
+            y2 = t[L:]
         zero = jnp.zeros_like(x2)
         y2n = jnp.where(neg[:] != 0, _sub_mod(zero, y2, p_limbs, L), y2)
         # affine identity is encoded (0, 0) by to_affine_limbs
@@ -275,42 +303,68 @@ def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks):
         oy[:] = jnp.where(keep, y3, Y1)
         oz[:] = jnp.where(keep, z3, Z1)
 
+    if mxu:
+
+        def kernel(x1r, y1r, z1r, rows, neg, valid, nm, pm, ox, oy, oz):
+            body(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz, (nm, pm))
+
+    else:
+
+        def kernel(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz):
+            body(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz, None)
+
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _ec_madd_call(field, n, tile, interpret, ks):
+def _ec_madd_call(field, n, tile, interpret, ks, packed=False, mxu=False):
     L = field.L
-    kernel = _make_ec_madd_kernel(L, field.p_limbs, field.nprime_limbs, ks)
+    kernel = _make_ec_madd_kernel(
+        L, field.p_limbs, field.nprime_limbs, ks, packed, mxu
+    )
+    rw = L if packed else 2 * L
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    rspec = pl.BlockSpec((tile, 2 * L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((tile, rw), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
-    return pl.pallas_call(
+    in_specs = [spec, spec, spec, rspec, mspec, mspec]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    call = pl.pallas_call(
         kernel,
         out_shape=(shape, shape, shape),
         grid=(n // tile,),
-        in_specs=[spec, spec, spec, rspec, mspec, mspec],
+        in_specs=in_specs,
         out_specs=(spec, spec, spec),
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
         if not interpret
         else None,
     )
+    if mxu:
+        nmat, pmat = _byte_mats(field.p_limbs, field.nprime_limbs, L)
+        return lambda *args: call(*args, nmat, pmat)
+    return call
 
 
 def ec_madd_pallas(ops, acc: ProjPoint, rows, neg, valid,
-                   interpret: bool = False) -> ProjPoint:
-    """Jacobian acc += (affine rows as (n, 2L) element-major), masked.
+                   interpret: bool = False, packed: bool = False) -> ProjPoint:
+    """Jacobian acc += (affine rows element-major), masked.
 
     acc: JACOBIAN ProjPoint with (L, *batch) coords; rows: gathered affine
-    points, row i = [x limbs | y limbs]; neg/valid: bool (*batch)."""
+    points, row i = [x limbs | y limbs] ((n, 2L) u16-in-u32, or (n, L)
+    PACKED pairs when `packed`); neg/valid: bool (*batch)."""
     f = ops.lane.f
     L = f.L
     batch = ops.lane.batch_shape(acc.x)
     coords = [jnp.broadcast_to(c, (L,) + batch) for c in acc]
     flat, _, n = _flatten(coords, L)
-    rows2 = rows.reshape(n, 2 * L)
+    rows2 = rows.reshape(n, L if packed else 2 * L)
     masks = [m.astype(jnp.uint32).reshape(1, n) for m in (neg, valid)]
     tile, pad = _tile_pad(n)
     if pad:
@@ -319,9 +373,10 @@ def ec_madd_pallas(ops, acc: ProjPoint, rows, neg, valid,
         masks = [jnp.pad(m, ((0, 0), (0, pad))) for m in masks]
     from . import pallas_field
 
-    outs = _ec_madd_call(f, n + pad, tile, interpret, pallas_field.USE_KS)(
-        *flat, rows2, *masks
-    )
+    outs = _ec_madd_call(
+        f, n + pad, tile, interpret, pallas_field.USE_KS, packed,
+        pallas_field.USE_MXU,
+    )(*flat, rows2, *masks)
     if pad:
         outs = [o[:, :n] for o in outs]
     return ProjPoint(*(o.reshape((L,) + batch) for o in outs))

@@ -185,6 +185,157 @@ def _make_kernel(L, p_limbs, nprime_limbs, ks):
     return kernel
 
 
+# ---------------------------------------------------------------- MXU REDC
+# The two REDC products have one CONSTANT operand (q = T_lo * N' mod R and
+# q * p), i.e. they are multiplications by fixed banded Toeplitz matrices
+# over the limb vector — exactly an MXU shape. With 8-bit digits every
+# partial product is < 2^16 and a column accumulates <= 2L of them, so the
+# whole matmul stays < 2^22: EXACT in f32 accumulation, and every digit
+# (<= 256 after redistribution) is exact in bf16. This moves ~3/4 of the
+# kernel's multiply work from the VPU to the MXU (docs/TPU_NOTES.md
+# "Speed-of-light notes").
+
+
+def _byte_mats(p_limbs, nprime_limbs, L):
+    """Constant banded byte matrices for the MXU REDC path.
+
+    nmat: (2L, 2L) with nmat[k, i] = byte_{k-i}(N')  (product mod R)
+    pmat: (4L, 2L) with pmat[k, i] = byte_{k-i}(p)   (full product)
+    """
+    B = 2 * L
+
+    def to_bytes(limbs):
+        out = []
+        for v in limbs:
+            out.append(int(v) & 0xFF)
+            out.append((int(v) >> 8) & 0xFF)
+        return out
+
+    nb = to_bytes(nprime_limbs)
+    pb = to_bytes(p_limbs)
+    nmat = np.zeros((B, B), np.float32)
+    pmat = np.zeros((2 * B, B), np.float32)
+    for k in range(B):
+        for i in range(B):
+            if 0 <= k - i < B:
+                nmat[k, i] = nb[k - i]
+    for k in range(2 * B):
+        for i in range(B):
+            if 0 <= k - i < B:
+                pmat[k, i] = pb[k - i]
+    return nmat.astype(jnp.bfloat16), pmat.astype(jnp.bfloat16)
+
+
+def _to_bytes_rows(x, L):
+    """(L, T) 16-bit limbs -> (2L, T) 8-bit digits (little-endian)."""
+    lo = x & jnp.uint32(0xFF)
+    hi = x >> 8
+    return jnp.stack([lo, hi], axis=1).reshape(2 * L, *x.shape[1:])
+
+
+def _redistribute(v, rounds):
+    """Deferred byte columns -> digits <= 256 (exact in bf16), mod 2^(8B).
+
+    v (B, T) u32 with values < 2^22; each round splits every column into
+    its 3 bytes and shifts them into place. Bounds: 2^22 -> 541 -> 257 ->
+    256 (see the MXU REDC comment), all full-height parallel VPU ops."""
+    z1 = None
+    for _ in range(rounds):
+        b0 = v & jnp.uint32(0xFF)
+        b1 = (v >> 8) & jnp.uint32(0xFF)
+        b2 = v >> 16
+        if z1 is None:
+            z1 = jnp.zeros_like(b1[:1])
+        v = b0 + jnp.concatenate([z1, b1[:-1]], 0)
+        v = v + jnp.concatenate([z1, z1, b2[:-2]], 0)
+    return v
+
+
+def _mont_core_mxu(a, b, L, p_limbs, nmat, pmat, ks):
+    """(a * b * R^-1) mod p with the REDC products on the MXU.
+
+    Exactness argument: digits <= 256 are exact bf16; banded-matmul columns
+    accumulate <= 2L products of 8-bit digits (< 2^22) — exact f32. q built
+    this way may exceed R by < R/256, which keeps S < 2p (p/R <= 0.25 for
+    the supported fields), so the single conditional subtraction stands."""
+    f32 = jnp.float32
+
+    def to_bf16(x):  # Mosaic has no u32->bf16 cast; hop via i32/f32
+        return x.astype(jnp.int32).astype(f32).astype(jnp.bfloat16)
+
+    def to_u32(x):  # ... and no f32->u32; values are small positive ints
+        return x.astype(jnp.int32).astype(jnp.uint32)
+
+    wide = _mul_cols(a, b, L, 2 * L)
+    if ks:
+        tlo, c_mid = _carry_ks_out(wide[:L], L)
+    else:
+        tlo, c_mid = _carry_out(wide[:L], L)
+    # q = (T_lo * N') mod R on the MXU. Matmuls run on a 2-D flattened
+    # view (the NTT kernels pass (L, M, T) operands).
+    batch = tlo.shape[1:]
+
+    def flat2(x):
+        return x.reshape(x.shape[0], -1)
+
+    tlo8 = to_bf16(flat2(_to_bytes_rows(tlo, L)))
+    qcols = to_u32(jax.lax.dot_general(
+        nmat, tlo8, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ))
+    q8 = to_bf16(_redistribute(qcols, 3))
+    # q * p on the MXU (full 2R-width product)
+    qpcols = to_u32(jax.lax.dot_general(
+        pmat, q8, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )).reshape((4 * L,) + batch)
+    g = qpcols.reshape(2 * L, 2, *qpcols.shape[1:])
+    qp16 = g[:, 0] + (g[:, 1] << 8)  # (2L, T) 16-bit columns, < 2^31
+    s_lo = tlo + qp16[:L]
+    s_hi = wide[L:] + qp16[L:]
+    s_hi = jnp.concatenate([s_hi[0:1] + c_mid, s_hi[1:]], 0)
+    sc = _carry(jnp.concatenate([s_lo, s_hi], 0), 2 * L)
+    return _cond_sub_p(sc[L:], p_limbs, L)
+
+
+def _make_kernel_mxu(L, p_limbs, ks):
+    p_limbs = [int(v) for v in p_limbs]
+
+    def kernel(a_ref, b_ref, n_ref, p_ref, o_ref):
+        o_ref[:] = _mont_core_mxu(
+            a_ref[:], b_ref[:], L, p_limbs, n_ref[:], p_ref[:], ks
+        )
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call_mxu(field, n, tile, interpret, ks=False):
+    L = field.L
+    kernel = _make_kernel_mxu(L, field.p_limbs, ks)
+    grid = n // tile
+    spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec(
+        (2 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    pspec = pl.BlockSpec(
+        (4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(grid,),
+        in_specs=[spec, spec, nspec, pspec],
+        out_specs=spec,
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
+        if not interpret
+        else None,
+    )
+    nmat, pmat = _byte_mats(field.p_limbs, field.nprime_limbs, L)
+    return lambda a, b: call(a, b, nmat, pmat)
+
+
 @functools.lru_cache(maxsize=None)
 def _mont_mul_call(field, n, tile, interpret, ks=False):
     """Compiled pallas_call for (L, n) operands, grid over n//tile tiles."""
@@ -257,13 +408,49 @@ def _make_butterfly_kernel(L, p_limbs, nprime_limbs, ks):
     return kernel
 
 
+def _make_butterfly_kernel_mxu(L, p_limbs, ks):
+    p_limbs = [int(v) for v in p_limbs]
+
+    def kernel(e_ref, o_ref, w_ref, n_ref, p_ref, oe_ref, oo_ref):
+        e = e_ref[:]
+        t = _mont_core_mxu(o_ref[:], w_ref[:], L, p_limbs, n_ref[:], p_ref[:], ks)
+        oe_ref[:] = _add_mod(e, t, p_limbs, L)
+        oo_ref[:] = _sub_mod(e, t, p_limbs, L)
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=None)
-def _butterfly_call(field, n, tile, interpret, ks=False):
+def _butterfly_call(field, n, tile, interpret, ks=False, mxu=False):
     L = field.L
-    kernel = _make_butterfly_kernel(L, field.p_limbs, field.nprime_limbs, ks)
     grid = n // tile
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
+    params = (
+        pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None
+    )
+    if mxu:
+        kernel = _make_butterfly_kernel_mxu(L, field.p_limbs, ks)
+        nspec = pl.BlockSpec(
+            (2 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        pspec = pl.BlockSpec(
+            (4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            kernel,
+            out_shape=(shape, shape),
+            grid=(grid,),
+            in_specs=[spec, spec, spec, nspec, pspec],
+            out_specs=(spec, spec),
+            interpret=bool(interpret),
+            compiler_params=params,
+        )
+        nmat, pmat = _byte_mats(field.p_limbs, field.nprime_limbs, L)
+        return lambda e, o, w: call(e, o, w, nmat, pmat)
+    kernel = _make_butterfly_kernel(L, field.p_limbs, field.nprime_limbs, ks)
     return pl.pallas_call(
         kernel,
         out_shape=(shape, shape),
@@ -271,11 +458,7 @@ def _butterfly_call(field, n, tile, interpret, ks=False):
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec),
         interpret=bool(interpret),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        )
-        if not interpret
-        else None,
+        compiler_params=params,
     )
 
 
@@ -292,7 +475,9 @@ def butterfly_pallas(field, even, odd, w, interpret: bool = False):
         even = jnp.pad(even, ((0, 0), (0, pad)))
         odd = jnp.pad(odd, ((0, 0), (0, pad)))
         w = jnp.pad(w, ((0, 0), (0, pad)))
-    oe, oo = _butterfly_call(field, n + pad, tile, interpret, USE_KS)(even, odd, w)
+    oe, oo = _butterfly_call(field, n + pad, tile, interpret, USE_KS, USE_MXU)(
+        even, odd, w
+    )
     if pad:
         oe, oo = oe[:, :n], oo[:, :n]
     return oe, oo
@@ -301,6 +486,10 @@ def butterfly_pallas(field, even, odd, w, interpret: bool = False):
 # tile width (lanes per grid step): 2048 measured best on v5e among
 # {1024, 2048, 8192} (scripts/probe_mont_mul.py); env knob for re-probing
 MAX_TILE = int(os.environ.get("COCIRCOM_PALLAS_TILE", "2048"))
+
+# MXU REDC path (q = T_lo*N' and q*p as bf16 banded matmuls): A/B probe
+# scripts/probe_mxu.py
+USE_MXU = bool(int(os.environ.get("COCIRCOM_PALLAS_MXU", "0")))
 
 
 def mont_mul_pallas(field, a, b, interpret: bool = False):
@@ -321,7 +510,10 @@ def mont_mul_pallas(field, a, b, interpret: bool = False):
     if pad:
         a2 = jnp.pad(a2, ((0, 0), (0, pad)))
         b2 = jnp.pad(b2, ((0, 0), (0, pad)))
-    out = _mont_mul_call(field, n + pad, tile, interpret, USE_KS)(a2, b2)
+    if USE_MXU:
+        out = _mont_mul_call_mxu(field, n + pad, tile, interpret, USE_KS)(a2, b2)
+    else:
+        out = _mont_mul_call(field, n + pad, tile, interpret, USE_KS)(a2, b2)
     if pad:
         out = out[:, :n]
     return out.reshape((L,) + batch)

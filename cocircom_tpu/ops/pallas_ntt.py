@@ -38,7 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_field import _add_mod, _mont_core, _sub_mod
 
-KMAX = 7  # largest in-kernel transform: 2^7 points on the sublane axis
+import os
+
+# largest in-kernel transform: 2^KMAX points on the sublane axis. KMAX=8
+# cuts 2^22 from 4 recursion levels (7+7+7+1) to 3 (8+7+7): one fewer HBM
+# round trip + inter-level transpose + twiddle post-multiply. Kernel VMEM
+# doubles (~60 MB peak at logm=8, under the 100 MB cap below).
+KMAX = int(os.environ.get("COCIRCOM_NTT_KMAX", "8"))
 TILE = 128  # lanes per grid step
 
 

@@ -110,12 +110,20 @@ def test_msm_chunked_matches_unchunked(monkeypatch):
 
 import jax  # noqa: E402  (used by the chunk test)
 
+@pytest.mark.parametrize("pack", [True, False])
+@pytest.mark.parametrize("mxu", [True, False])
 @pytest.mark.parametrize("n", [7, 65])
-def test_msm_madd_path_matches_host(n, monkeypatch):
+def test_msm_madd_path_matches_host(n, mxu, pack, monkeypatch):
     """The TPU mixed-add wave path (Jacobian += affine with D bucket init
     + E*D correction) in Pallas interpret mode vs the host reference,
-    incl. identity points and zero scalars."""
+    incl. identity points and zero scalars — across the packed-gather and
+    MXU-REDC kernel variants."""
+    from cocircom_tpu.ops import pallas_field
+    from cocircom_tpu.ops.msm import MSM
+
     monkeypatch.setenv("COCIRCOM_FORCE_MADD", "interpret")
+    monkeypatch.setattr(MSM, "PACK", pack)
+    monkeypatch.setattr(pallas_field, "USE_MXU", mxu)
     curve = BN254
     rng = random.Random(500 + n)
     hostP = host_points_g1(curve, n, rng)
