@@ -135,6 +135,59 @@ def _ec_add_call(field, b3_limbs, n, tile, interpret, ks):
 
 
 @functools.lru_cache(maxsize=None)
+def _ec_add_call3(field, b3_limbs, nblk, interpret, ks):
+    from .pallas_field import LANES, SUBL
+
+    L = field.L
+    kernel = _make_ec_add_kernel(
+        L, field.p_limbs, field.nprime_limbs, b3_limbs, ks
+    )
+    spec = pl.BlockSpec(
+        (L, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, nblk, LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(nblk // SUBL,),
+        in_specs=[spec] * 6,
+        out_specs=(spec, spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _ec_wave_call3(field, b3_limbs, nblk, interpret, ks):
+    from .pallas_field import LANES, SUBL
+
+    L = field.L
+    kernel = _make_ec_wave_kernel(
+        L, field.p_limbs, field.nprime_limbs, b3_limbs, ks
+    )
+    spec = pl.BlockSpec(
+        (L, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    mspec = pl.BlockSpec(
+        (SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, nblk, LANES), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(nblk // SUBL,),
+        in_specs=[spec] * 6 + [mspec, mspec],
+        out_specs=(spec, spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None,
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _ec_wave_call(field, b3_limbs, n, tile, interpret, ks):
     L = field.L
     kernel = _make_ec_wave_kernel(L, field.p_limbs, field.nprime_limbs, b3_limbs, ks)
@@ -178,12 +231,22 @@ def ec_add_pallas(ops, p: ProjPoint, q: ProjPoint, interpret: bool = False) -> P
     )
     coords = [jnp.broadcast_to(c, (L,) + batch) for c in (*p, *q)]
     flat, _, n = _flatten(coords, L)
-    tile, pad = _tile_pad(n)
-    if pad:
-        flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
     b3 = _b3_limbs(ops)
     from . import pallas_field
 
+    if pallas_field.USE_3D:
+        from .pallas_field import _to3d
+
+        c3 = [_to3d(c, L, n) for c in flat]
+        outs = _ec_add_call3(
+            f, b3, c3[0].shape[1], interpret, pallas_field.USE_KS
+        )(*c3)
+        return ProjPoint(
+            *(o.reshape(L, -1)[:, :n].reshape((L,) + batch) for o in outs)
+        )
+    tile, pad = _tile_pad(n)
+    if pad:
+        flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
     outs = _ec_add_call(f, b3, n + pad, tile, interpret, pallas_field.USE_KS)(*flat)
     if pad:
         outs = [o[:, :n] for o in outs]
@@ -201,6 +264,27 @@ def ec_wave_add_pallas(
     batch = ops.lane.batch_shape(acc.x)
     coords = [jnp.broadcast_to(c, (L,) + batch) for c in (*acc, *pt)]
     flat, _, n = _flatten(coords, L)
+    b3 = _b3_limbs(ops)
+    from . import pallas_field
+
+    if pallas_field.USE_3D:
+        from .pallas_field import LANES, SUBL, _to3d
+
+        blk = SUBL * LANES
+        pad = (-n) % blk
+        c3 = [_to3d(c, L, n) for c in flat]
+        m3 = []
+        for m in (neg, valid):
+            m2 = m.astype(jnp.uint32).reshape(n)
+            if pad:
+                m2 = jnp.pad(m2, (0, pad))
+            m3.append(m2.reshape(-1, LANES))
+        outs = _ec_wave_call3(
+            f, b3, c3[0].shape[1], interpret, pallas_field.USE_KS
+        )(*c3, *m3)
+        return ProjPoint(
+            *(o.reshape(L, -1)[:, :n].reshape((L,) + batch) for o in outs)
+        )
     masks = [
         m.astype(jnp.uint32).reshape(1, n) for m in (neg, valid)
     ]
@@ -208,9 +292,6 @@ def ec_wave_add_pallas(
     if pad:
         flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
         masks = [jnp.pad(m, ((0, 0), (0, pad))) for m in masks]
-    b3 = _b3_limbs(ops)
-    from . import pallas_field
-
     outs = _ec_wave_call(f, b3, n + pad, tile, interpret, pallas_field.USE_KS)(
         *flat, *masks
     )
@@ -238,7 +319,8 @@ def _b3_limbs(ops):
 # XLA HBM transpose pass (~1/3 of the gather cost, scripts/probe_gather.py).
 
 
-def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False):
+def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False,
+                         d3=False):
     p_limbs = [int(v) for v in p_limbs]
     np_limbs = [int(v) for v in np_limbs]
 
@@ -262,7 +344,9 @@ def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False):
         def sub(x, y):
             return _sub_mod(x, y, p_limbs, L)
 
-        t = rows[:].T  # in-VMEM transpose of the gathered rows
+        # in-VMEM transpose of the gathered rows (3-D tiles: the row
+        # coordinate axis moves from lanes to the leading dim)
+        t = rows[:].transpose(2, 0, 1) if d3 else rows[:].T
         if packed:
             # (L, T) u32 rows: each u32 packs limb pair (2k, 2k+1) —
             # HALF the gathered bytes of the 2L-wide u16-in-u32 layout
@@ -317,6 +401,53 @@ def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False):
 
 
 @functools.lru_cache(maxsize=None)
+def _ec_madd_call3(field, nblk, interpret, ks, packed=False, mxu=False):
+    """3-D tile variant: coords (L, nblk, LANES), rows (nblk, LANES, rw),
+    masks (nblk, LANES); grid over nblk // SUBL."""
+    from .pallas_field import LANES, SUBL
+
+    L = field.L
+    kernel = _make_ec_madd_kernel(
+        L, field.p_limbs, field.nprime_limbs, ks, packed, mxu, d3=True
+    )
+    rw = L if packed else 2 * L
+    grid = nblk // SUBL
+    spec = pl.BlockSpec(
+        (L, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    rspec = pl.BlockSpec(
+        (SUBL, LANES, rw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    mspec = pl.BlockSpec(
+        (SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((L, nblk, LANES), jnp.uint32)
+    in_specs = [spec, spec, spec, rspec, mspec, mspec]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(spec, spec, spec),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None,
+    )
+    if mxu:
+        nmat, pmat = _byte_mats(field.p_limbs, field.nprime_limbs, L)
+        return lambda *args: call(*args, nmat, pmat)
+    return call
+
+
+@functools.lru_cache(maxsize=None)
 def _ec_madd_call(field, n, tile, interpret, ks, packed=False, mxu=False):
     L = field.L
     kernel = _make_ec_madd_kernel(
@@ -359,20 +490,43 @@ def ec_madd_pallas(ops, acc: ProjPoint, rows, neg, valid,
     acc: JACOBIAN ProjPoint with (L, *batch) coords; rows: gathered affine
     points, row i = [x limbs | y limbs] ((n, 2L) u16-in-u32, or (n, L)
     PACKED pairs when `packed`); neg/valid: bool (*batch)."""
+    from . import pallas_field
+
     f = ops.lane.f
     L = f.L
+    rw = L if packed else 2 * L
     batch = ops.lane.batch_shape(acc.x)
     coords = [jnp.broadcast_to(c, (L,) + batch) for c in acc]
     flat, _, n = _flatten(coords, L)
-    rows2 = rows.reshape(n, L if packed else 2 * L)
+    rows2 = rows.reshape(n, rw)
+    if pallas_field.USE_3D:
+        from .pallas_field import LANES, SUBL, _to3d
+
+        blk = SUBL * LANES
+        pad = (-n) % blk
+        c3 = [_to3d(c, L, n) for c in flat]
+        if pad:
+            rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
+        r3 = rows2.reshape(-1, LANES, rw)
+        m3 = []
+        for m in (neg, valid):
+            m2 = m.astype(jnp.uint32).reshape(n)
+            if pad:
+                m2 = jnp.pad(m2, (0, pad))
+            m3.append(m2.reshape(-1, LANES))
+        outs = _ec_madd_call3(
+            f, c3[0].shape[1], interpret, pallas_field.USE_KS, packed,
+            pallas_field.USE_MXU,
+        )(*c3, r3, *m3)
+        return ProjPoint(
+            *(o.reshape(L, -1)[:, :n].reshape((L,) + batch) for o in outs)
+        )
     masks = [m.astype(jnp.uint32).reshape(1, n) for m in (neg, valid)]
     tile, pad = _tile_pad(n)
     if pad:
         flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
         rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
         masks = [jnp.pad(m, ((0, 0), (0, pad))) for m in masks]
-    from . import pallas_field
-
     outs = _ec_madd_call(
         f, n + pad, tile, interpret, pallas_field.USE_KS, packed,
         pallas_field.USE_MXU,

@@ -462,10 +462,53 @@ def _butterfly_call(field, n, tile, interpret, ks=False, mxu=False):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _butterfly_call3(field, nblk, interpret, ks=False, mxu=False):
+    L = field.L
+    grid = nblk // SUBL
+    spec = pl.BlockSpec(
+        (L, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    params = (
+        pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None
+    )
+    shape = jax.ShapeDtypeStruct((L, nblk, LANES), jnp.uint32)
+    if mxu:
+        kernel = _make_butterfly_kernel_mxu(L, field.p_limbs, ks)
+        nspec = pl.BlockSpec(
+            (2 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        pspec = pl.BlockSpec(
+            (4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            kernel, out_shape=(shape, shape), grid=(grid,),
+            in_specs=[spec, spec, spec, nspec, pspec],
+            out_specs=(spec, spec),
+            interpret=bool(interpret), compiler_params=params,
+        )
+        nmat, pmat = _byte_mats(field.p_limbs, field.nprime_limbs, L)
+        return lambda e, o, w: call(e, o, w, nmat, pmat)
+    kernel = _make_butterfly_kernel(L, field.p_limbs, field.nprime_limbs, ks)
+    return pl.pallas_call(
+        kernel, out_shape=(shape, shape), grid=(grid,),
+        in_specs=[spec, spec, spec], out_specs=(spec, spec),
+        interpret=bool(interpret), compiler_params=params,
+    )
+
+
 def butterfly_pallas(field, even, odd, w, interpret: bool = False):
     """(L, N) canonical Montgomery triples -> (even + odd*w, even - odd*w)."""
     L = field.L
     n = even.shape[1]
+    if USE_3D:
+        e3, o3, w3 = (_to3d(x, L, n) for x in (even, odd, w))
+        oe, oo = _butterfly_call3(
+            field, e3.shape[1], interpret, USE_KS, USE_MXU
+        )(e3, o3, w3)
+        return (oe.reshape(L, -1)[:, :n], oo.reshape(L, -1)[:, :n])
     if n >= MAX_TILE:
         tile = MAX_TILE
     else:
@@ -491,6 +534,61 @@ MAX_TILE = int(os.environ.get("COCIRCOM_PALLAS_TILE", "2048"))
 # scripts/probe_mxu.py
 USE_MXU = bool(int(os.environ.get("COCIRCOM_PALLAS_MXU", "0")))
 
+# 3-D tile layout (L, SUBL, LANES): the serial carry/borrow chains run one
+# (1, ...) row op per limb, and with flat (L, T) tiles a row is 1 sublane x
+# T lanes = 1/8 VPU utilization. Folding the batch into (SUBL, LANES)
+# blocks makes every chain step a full-width op: measured 606 vs 338 M
+# muls/s at 2^22 (scripts/probe_3d.py), bit-exact.
+SUBL = int(os.environ.get("COCIRCOM_PALLAS_SUBL", "8"))
+LANES = int(os.environ.get("COCIRCOM_PALLAS_LANES", "256"))
+USE_3D = bool(int(os.environ.get("COCIRCOM_PALLAS_3D", "1")))
+
+
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call3(field, nblk, interpret, ks=False, mxu=False):
+    """Compiled pallas_call on (L, nblk, LANES) operands (3-D tiles)."""
+    L = field.L
+    grid = nblk // SUBL
+    spec = pl.BlockSpec(
+        (L, SUBL, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    params = (
+        pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+        if not interpret
+        else None
+    )
+    shape = jax.ShapeDtypeStruct((L, nblk, LANES), jnp.uint32)
+    if mxu:
+        kernel = _make_kernel_mxu(L, field.p_limbs, ks)
+        nspec = pl.BlockSpec(
+            (2 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        pspec = pl.BlockSpec(
+            (4 * L, 2 * L), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        call = pl.pallas_call(
+            kernel, out_shape=shape, grid=(grid,),
+            in_specs=[spec, spec, nspec, pspec], out_specs=spec,
+            interpret=bool(interpret), compiler_params=params,
+        )
+        nmat, pmat = _byte_mats(field.p_limbs, field.nprime_limbs, L)
+        return lambda a, b: call(a, b, nmat, pmat)
+    kernel = _make_kernel(L, field.p_limbs, field.nprime_limbs, ks)
+    return pl.pallas_call(
+        kernel, out_shape=shape, grid=(grid,),
+        in_specs=[spec, spec], out_specs=spec,
+        interpret=bool(interpret), compiler_params=params,
+    )
+
+
+def _to3d(x, L, n):
+    """(L, n) -> padded (L, nblk, LANES); returns (arr3, nblk, orig n)."""
+    blk = SUBL * LANES
+    pad = (-n) % blk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x.reshape(L, (n + pad) // LANES, LANES)
+
 
 def mont_mul_pallas(field, a, b, interpret: bool = False):
     """Drop-in Montgomery multiply: (L, *batch) x (L, *batch) -> (L, *batch)."""
@@ -502,6 +600,13 @@ def mont_mul_pallas(field, a, b, interpret: bool = False):
         n *= d
     a2 = a.reshape(L, n)
     b2 = b.reshape(L, n)
+    if USE_3D:
+        a3 = _to3d(a2, L, n)
+        b3 = _to3d(b2, L, n)
+        out = _mont_mul_call3(
+            field, a3.shape[1], interpret, USE_KS, USE_MXU
+        )(a3, b3)
+        return out.reshape(L, -1)[:, :n].reshape((L,) + batch)
     if n >= MAX_TILE:
         tile = MAX_TILE
     else:
