@@ -446,11 +446,14 @@ class MSM:
 
     # ------------------------------------------------ driver
 
-    # largest single-program point count: programs above this compile
-    # multi-hour through the remote-compile tunnel, while MSM additivity
-    # makes host-level chunking free (the shared accumulator carries
-    # across chunks; reduce/Horner run once)
-    CHUNK_LOG = 17
+    # largest single-program point count. Bigger chunks mean LONGER bucket
+    # runs (mean run = chunk/2^(c-1)) and thus a smaller Poisson-tail
+    # overshoot — at 2^17/c=12 the longest run is ~1.6x the mean, at 2^20
+    # ~1.2x — so the chunk should be as large as the prepare (argsort) and
+    # gather-width limits allow. Round 1's multi-hour remote compiles came
+    # from a MONOLITHIC msm program, not from large shapes; the phased
+    # driver's programs stay small at any chunk size.
+    CHUNK_LOG = int(os.environ.get("COCIRCOM_MSM_CHUNK_LOG", "20"))
 
     def msm(self, points: ProjPoint, scalar_limbs, nbits: int | None = None) -> ProjPoint:
         """points: batched ProjPoint (coords (L, N)); scalars (Ls, N) 16-bit
