@@ -72,14 +72,63 @@ class Rep3Rngs:
 
     def binary_mask(self, f: Field, nbits: int, shape=()):
         """r_self ^ r_prev over nbits: XORs to zero over the 3 parties."""
+        return self.binary_masks(f, nbits, shape, 1)[0]
+
+    def binary_masks(self, f: Field, nbits: int, shape=(), n: int = 1):
+        """n zero-XOR masks from ONE fused program (the eager per-draw
+        pipeline was ~30 ms/mask on CPU — the whole cost of an AND round;
+        a single jitted program per (shape, n) is ~1 ms)."""
         L = f.L
         top_bits = nbits - 16 * (L - 1)
         top = (1 << top_bits) - 1 if top_bits > 0 else 0
-        r1 = self.bin1.limbs16((L,) + tuple(shape))
-        r2 = self.bin2.limbs16((L,) + tuple(shape))
-        r1 = r1.at[L - 1].set(r1[L - 1] & top)
-        r2 = r2.at[L - 1].set(r2[L - 1] & top)
-        return r1 ^ r2
+        call, nblk = _binary_masks_call(L, top, tuple(shape), n)
+        out = call(
+            self.bin1.key, jnp.uint32(self.bin1.ctr), self.bin1.domain,
+            self.bin2.key, jnp.uint32(self.bin2.ctr), self.bin2.domain,
+        )
+        self.bin1.ctr += nblk
+        self.bin2.ctr += nblk
+        return [out[i] for i in range(n)]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _binary_masks_call(L: int, top: int, shape: tuple, n: int):
+    """One jitted program producing n zero-XOR masks of (L, *shape) from
+    the two correlated streams. Returns (call, blocks_consumed_per_stream).
+
+    Stream discipline: consumes exactly n sequential limbs16 draws' worth
+    of blocks from each stream, in draw-major order — both ends of each
+    correlated stream MUST make identical request sequences (rngs.rs
+    Rep3Rand lockstep), which holds because every party runs this same
+    code path."""
+    from ..utils.chacha import chacha_blocks
+
+    half = -(-L // 2)
+    total = 1
+    for s in shape:
+        total *= s
+    per = max(1, -(-(half * total) // 16))
+    nblk = per * n
+
+    def draw(key, ctr, domain):
+        w = chacha_blocks(key, ctr, domain, nblk)  # (16, nblk)
+        flat = w.T.reshape(n, per * 16)[:, : half * total]
+        flat = flat.reshape((n, half) + shape)
+        lo = flat & jnp.uint32(0xFFFF)
+        hi = flat >> 16
+        both = jnp.concatenate(
+            [lo[:, :, None], hi[:, :, None]], axis=2
+        ).reshape((n, 2 * half) + shape)[:, :L]
+        return both.at[:, L - 1].set(both[:, L - 1] & jnp.uint32(top))
+
+    @jax.jit
+    def go(k1, c1, d1, k2, c2, d2):
+        return draw(k1, c1, d1) ^ draw(k2, c2, d2)
+
+    return go, nblk
 
 
 def share_field_vec(f: Field, vec_mont, seed: bytes | int | None = None):

@@ -76,6 +76,70 @@ def keep_first_zero(L, ndim):
     return jnp.asarray((idx >= 1).astype(np.uint32).reshape((L,) + (1,) * (ndim - 1)))
 
 
+# --------------------------------------------------------- fused kernels
+# One jitted program per protocol step between communication points: on
+# XLA:CPU every eager op costs ~1-3 ms of dispatch under the 3 party
+# threads, so the eager chains (not the math, not ChaCha) dominated a2b
+# (~1.3 s/call) and with it the whole REP3 corpus sweep.
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _and_local_call(batch: tuple):
+    @jax.jit
+    def go(xa, xb, ya, yb, mask):
+        return (xa & ya) ^ (xa & yb) ^ (xb & ya) ^ mask
+
+    return go
+
+
+@functools.lru_cache(maxsize=None)
+def _ks_pre_call(f, bit_len: int, shift: int, batch: tuple):
+    """(p, g, masks) -> the two AND-round locals of one Kogge-Stone level
+    (l1 = g_mask & p_shift, l2 = p_shift & p_mask)."""
+    maskc = jnp.asarray(_mask_np(f, bit_len - shift)).reshape(
+        (f.L,) + (1,) * len(batch)
+    )
+
+    @jax.jit
+    def go(pa, pb, ga, gb, m1, m2):
+        pma, pmb = pa & maskc, pb & maskc
+        gma, gmb = ga & maskc, gb & maskc
+        psa, psb = shr_bits(pa, shift), shr_bits(pb, shift)
+        l1 = (gma & psa) ^ (gma & psb) ^ (gmb & psa) ^ m1
+        l2 = (psa & pma) ^ (psa & pmb) ^ (psb & pma) ^ m2
+        return l1, l2
+
+    return go
+
+
+@functools.lru_cache(maxsize=None)
+def _ks_post_call(shift: int, batch: tuple):
+    """(locals, peer halves, g) -> next level's (p, g)."""
+
+    @jax.jit
+    def go(l1, l2, r1b, r2b, ga, gb):
+        return (
+            shl_bits(l2, shift),
+            shl_bits(r2b, shift),
+            ga ^ shl_bits(l1, shift),
+            gb ^ shl_bits(r1b, shift),
+        )
+
+    return go
+
+
+@functools.lru_cache(maxsize=None)
+def _ks_fin_call(batch: tuple):
+    @jax.jit
+    def go(ga, gb, sa, sb):
+        return shl_bits(ga, 1) ^ sa, shl_bits(gb, 1) ^ sb
+
+    return go
+
+
 class Rep3Binary:
     """Binary-domain protocol ops bound to a Rep3Driver."""
 
@@ -92,6 +156,10 @@ class Rep3Binary:
     def _rand_mask(self, batch):
         """r_self ^ r_prev over bitlen bits (zero-sum XOR mask; ChaCha12)."""
         return self.d.rngs.binary_mask(self.f, self.bitlen, batch)
+
+    def _rand_mask2(self, batch):
+        """two masks from one fused draw (one program, one counter step)."""
+        return self.d.rngs.binary_masks(self.f, self.bitlen, batch, 2)
 
     def zeros(self, batch=()) -> Rep3BinaryShare:
         z = jnp.zeros((self.f.L,) + tuple(batch), jnp.uint32)
@@ -133,7 +201,7 @@ class Rep3Binary:
     def and_(self, x: Rep3BinaryShare, y: Rep3BinaryShare) -> Rep3BinaryShare:
         batch = jnp.broadcast_shapes(x.a.shape[1:], y.a.shape[1:])
         mask = self._rand_mask(batch)
-        local = (x.a & y.a) ^ (x.a & y.b) ^ (x.b & y.a) ^ mask
+        local = _and_local_call(batch)(x.a, x.b, y.a, y.b, mask)
         self.d.net.send_next(local)
         prev = jnp.asarray(self.d.net.recv_prev())
         return Rep3BinaryShare(local, prev)
@@ -141,10 +209,10 @@ class Rep3Binary:
     def and_twice(self, a, b1, b2):
         """(b1 & a, a & b2) in ONE round (a2b.rs:168)."""
         batch = a.a.shape[1:]
-        m1 = self._rand_mask(batch)
-        m2 = self._rand_mask(batch)
-        l1 = (b1.a & a.a) ^ (b1.a & a.b) ^ (b1.b & a.a) ^ m1
-        l2 = (a.a & b2.a) ^ (a.a & b2.b) ^ (a.b & b2.a) ^ m2
+        m1, m2 = self._rand_mask2(batch)
+        call = _and_local_call(batch)
+        l1 = call(b1.a, b1.b, a.a, a.b, m1)
+        l2 = call(a.a, a.b, b2.a, b2.b, m2)
         self.d.net.send_next((l1, l2))
         p1, p2 = self.d.net.recv_prev()
         return (
@@ -155,21 +223,30 @@ class Rep3Binary:
     # ------------------------------------------------------------ adder
 
     def kogge_stone_inner(self, p, g, bit_len: int) -> Rep3BinaryShare:
+        """Each level is 2 fused programs + 1 mask-pair draw + 1 message:
+        the round count is protocol-fixed (a2b.rs:286), so the CPU wall
+        time is all in per-round overhead — the eager op chain was ~10
+        dispatches/level and dominated the shared-VM corpus sweep."""
         d = 0
         while (1 << d) < bit_len:
             d += 1
         s_ = p
+        batch = p.a.shape[1:]
         for i in range(d):
             shift = 1 << i
-            maskc = self._maskc(bit_len - shift, p.a.shape[1:])
-            p_mask = self.and_public(p, maskc)
-            g_mask = self.and_public(g, maskc)
-            p_shift = self.shr(p, shift)
-            r1, r2 = self.and_twice(p_shift, g_mask, p_mask)
-            p = self.shl(r2, shift)
-            g = self.xor(g, self.shl(r1, shift))
-        g = self.shl(g, 1)
-        return self.xor(g, s_)
+            m1, m2 = self._rand_mask2(batch)
+            l1, l2 = _ks_pre_call(self.f, bit_len, shift, batch)(
+                p.a, p.b, g.a, g.b, m1, m2
+            )
+            self.d.net.send_next((l1, l2))
+            r1b, r2b = self.d.net.recv_prev()
+            pa, pb, ga, gb = _ks_post_call(shift, batch)(
+                l1, l2, jnp.asarray(r1b), jnp.asarray(r2b), g.a, g.b
+            )
+            p = Rep3BinaryShare(pa, pb)
+            g = Rep3BinaryShare(ga, gb)
+        ga, gb = _ks_fin_call(batch)(g.a, g.b, s_.a, s_.b)
+        return Rep3BinaryShare(ga, gb)
 
     def binary_add(self, x1, x2, bit_len=None) -> Rep3BinaryShare:
         bl = bit_len or self.bitlen

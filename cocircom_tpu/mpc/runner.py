@@ -15,7 +15,11 @@ from .net import LocalNetwork
 
 def run_parties(fn: Callable, n: int = 3, timeout: float = 1800.0) -> list:
     """fn(party_id, net) -> result; returns [result_0, ..., result_{n-1}]."""
-    nets = LocalNetwork.create(n)
+    # device=True: co-located threads hand arrays over zero-copy (on the
+    # CPU backend device arrays ARE host memory; materializing to numpy on
+    # every send just forced a synchronous flush per round). The TCP path
+    # exercises real serialization; this fixture exercises the protocol.
+    nets = LocalNetwork.create(n, device=True)
     results = [None] * n
     errors = [None] * n
 

@@ -83,9 +83,28 @@ def fit_keep_labels(src, curve, link, inputs_list, wants):
     # default-O2 kept set as positions in the full label order (prior)
     cc2, _ = _host_runs(src, curve, link, inputs_list[:1], opt=2)
     kept2 = cc2._debug["kept"]
-    prior = [
-        i for i, s in enumerate(cc2._debug["order"]) if s.uid in kept2
-    ]
+    order2 = cc2._debug["order"]
+    prior = [i for i, s in enumerate(order2) if s.uid in kept2]
+
+    # structurally-always-kept positions: only signals of LINEAR
+    # constraints can ever be Gauss-eliminated (vm/algebra.py), so a
+    # signal outside every linear constraint keeps its slot in EVERY
+    # valid layout — circom's included. These pin most of a bit-heavy
+    # circuit (sha256: nonlinear b*c constraints everywhere), leaving the
+    # value-matching DP only the true linear-cluster ambiguity.
+    el2 = cc2._debug["el"]
+    from .algebra import lc_signals
+
+    elim_cand: set = set()
+    for c in el2.constraints:
+        if c.is_linear():
+            lin = c.linearized(el2.p)
+            if lin:
+                elim_cand.update(lc_signals(lin))
+    ak = sorted(
+        i for i, s in enumerate(order2)
+        if s.uid in kept2 and s.uid not in elim_cand
+    )
 
     # value tuples (one per input) for want entry j / full position p
     wv = [tuple(w[j] for w in wants) for j in range(1, W)]
@@ -120,6 +139,19 @@ def fit_keep_labels(src, curve, link, inputs_list, wants):
 
     freq = Counter(fv)
     prior_set = set(prior)
+    try:
+        return _assign(wv, fv, e, lt, prior, prior_set, freq, ak), F
+    except ValueError:
+        # the structural-anchor assumption failed somewhere (an AK-pinned
+        # pair is value-infeasible): retry unconstrained
+        return _assign(wv, fv, e, lt, prior, prior_set, freq, []), F
+
+
+def _assign(wv, fv, e, lt, prior, prior_set, freq, ak):
+    import bisect
+
+    n = len(wv)
+    ak_set = set(ak)
 
     def anchored(j):
         return (
@@ -129,11 +161,48 @@ def fit_keep_labels(src, curve, link, inputs_list, wants):
         )
 
     pos: list[int | None] = [None] * n
+    forced = [False] * n
     for j in range(n):
         if e[j] == lt[j]:
             pos[j] = e[j]
+            forced[j] = True
         elif anchored(j):
             pos[j] = prior[j]
+
+    # drop anchors whose adjacency skips an always-kept position (nothing
+    # could ever use it) — repeat until stable; forced entries stay
+    def ak_between(a, b):  # any AK strictly inside (a, b)?
+        i = bisect.bisect_right(ak, a)
+        return i < len(ak) and ak[i] < b
+
+    changed = True
+    while changed and ak:
+        changed = False
+        last = -1  # position of previous filled entry (virtual start)
+        last_j = None
+        for j in range(n):
+            if pos[j] is None:
+                last = -2  # a window will cover the gap
+                continue
+            if last != -2 and ak_between(last, pos[j]):
+                if not forced[j]:
+                    pos[j] = None
+                    changed = True
+                elif last_j is not None and not forced[last_j]:
+                    pos[last_j] = None
+                    changed = True
+                else:
+                    raise ValueError(
+                        "forced entries skip an always-kept label"
+                    )
+            last = pos[j] if pos[j] is not None else -2
+            last_j = j
+        # trailing AK above the last filled entry
+        if pos[n - 1] is not None and ak and ak[-1] > pos[n - 1]:
+            if forced[n - 1]:
+                raise ValueError("forced tail skips an always-kept label")
+            pos[n - 1] = None
+            changed = True
 
     # solve stretches between anchors; on unsatisfiability, drop the
     # boundary anchors and widen (forced e==lt entries are never dropped)
@@ -150,30 +219,39 @@ def fit_keep_labels(src, curve, link, inputs_list, wants):
             lo = pos[j0 - 1] + 1 if j0 > 0 else 0
             hi = (pos[j1] - 1) if j1 < n else (len(fv) - 1)
             try:
-                _solve_window(wv, fv, prior_set, pos, e, lt, j0, j1, lo, hi)
+                _solve_window(
+                    wv, fv, prior_set, pos, e, lt, j0, j1, lo, hi, ak
+                )
                 break
             except ValueError:
                 widened = False
-                if j0 > 0 and e[j0 - 1] != lt[j0 - 1]:
+                if j0 > 0 and not forced[j0 - 1]:
                     j0 -= 1
                     pos[j0] = None
                     widened = True
-                if j1 < n and e[j1] != lt[j1]:
+                if j1 < n and not forced[j1]:
                     pos[j1] = None
                     j1 += 1
                     widened = True
                 if not widened:
                     raise
         j = j1
-    return [q + 1 for q in pos], F
+    return [q + 1 for q in pos]
 
 
-def _solve_window(wv, fv, prior, pos, e, lt, j0, j1, lo, hi):
+def _solve_window(wv, fv, prior, pos, e, lt, j0, j1, lo, hi, ak=()):
     """Fill pos[j0:j1) with strictly-increasing positions in [lo, hi]
     (further bounded by the global e/lt ranges) whose values match,
-    maximizing membership in `prior`."""
-    if (j1 - j0) * (hi - lo + 1) > 200_000:
-        return _solve_window_np(wv, fv, prior, pos, e, lt, j0, j1, lo, hi)
+    maximizing membership in `prior`. Positions in `ak` (sorted,
+    always-kept) inside the window MUST all be used."""
+    import bisect
+
+    akw = ak[bisect.bisect_left(ak, lo):bisect.bisect_right(ak, hi)] \
+        if ak else []
+    if akw or (j1 - j0) * (hi - lo + 1) > 200_000:
+        return _solve_window_np(
+            wv, fv, prior, pos, e, lt, j0, j1, lo, hi, akw
+        )
     best_prev: dict[int, int] = {}
     back: list[dict] = []
     for j in range(j0, j1):
@@ -211,10 +289,17 @@ def _solve_window(wv, fv, prior, pos, e, lt, j0, j1, lo, hi):
         pbest = back[j - j0][pbest]
 
 
-def _solve_window_np(wv, fv, prior, pos, e, lt, j0, j1, lo, hi):
+def _solve_window_np(wv, fv, prior, pos, e, lt, j0, j1, lo, hi, akw=()):
     """Vectorized variant of _solve_window for big stretches (sha256-class
-    bit runs): per-row score arrays over the window with prefix-max/argmax
-    transitions instead of dict DP. Same result, O(rows*win) numpy ops."""
+    bit runs) and for windows containing always-kept positions: per-row
+    score arrays over the window with prefix-max/argmax transitions.
+
+    The always-kept constraint rides the transition: a step q -> pp may
+    not skip an AK position in (q, pp), so the usable predecessors of pp
+    are exactly the positions of the LAST AK-delimited segment before pp.
+    With per-segment ids, a single prefix-max over (score + seg*K) floats
+    picks the best predecessor of the latest segment; a transition whose
+    winning predecessor is from an older segment is invalid."""
     import numpy as np
 
     win = hi - lo + 1
@@ -225,36 +310,54 @@ def _solve_window_np(wv, fv, prior, pos, e, lt, j0, j1, lo, hi):
     )
     prior_mask = np.fromiter(
         ((1 if (lo + i) in prior else 0) for i in range(win)),
-        dtype=np.int32, count=win,
+        dtype=np.float64, count=win,
     )
     idx = np.arange(win)
-    NEG = np.int32(-1 << 20)
+    # segment id per window offset: number of AK positions <= offset
+    akrel = np.asarray([a - lo for a in akw], dtype=np.int64)
+    seg = np.searchsorted(akrel, idx, side="right").astype(np.float64)
+    seg_prev = np.concatenate(([0.0], seg[:-1]))  # seg of pp-1
+    K = float(4 * (j1 - j0) + 8)
+    NEG = -np.inf
     prev = None
     backs: list = []
     for j in range(j0, j1):
         match = fvid == ids.get(wv[j], -2)
         if j == j0:
-            cur = np.where(match, prior_mask, NEG)
+            # no AK may sit strictly below the first used position
+            ok0 = seg_prev == 0
+            cur = np.where(match & ok0, prior_mask, NEG)
             backs.append(None)
         else:
-            pm = np.maximum.accumulate(prev)
-            parg = np.maximum.accumulate(np.where(prev >= pm, idx, -1))
-            shifted = np.concatenate(([NEG], pm[:-1]))
-            sarg = np.concatenate(([0], parg[:-1])).astype(np.int32)
-            cur = np.where(
-                match & (shifted > NEG // 2), shifted + prior_mask, NEG
-            ).astype(np.int32)
+            T = prev + seg * K
+            M = np.maximum.accumulate(T)
+            parg = np.maximum.accumulate(np.where(T >= M, idx, -1))
+            Ms = np.concatenate(([NEG], M[:-1]))
+            sarg = np.concatenate(([0], parg[:-1])).astype(np.int64)
+            # valid only if the winning predecessor is in the newest
+            # segment before pp (no AK skipped) and finite
+            base = Ms - seg_prev * K
+            okseg = np.isfinite(Ms) & (seg[sarg] == seg_prev)
+            cur = np.where(match & okseg, base + prior_mask, NEG)
             backs.append(sarg)
         a, b = max(0, e[j] - lo), lt[j] - lo
         cur[:a] = NEG
         cur[b + 1:] = NEG
-        if cur.max() <= NEG // 2:
+        if not np.isfinite(cur.max()):
             raise ValueError(
                 f"witness entries {j0 + 1}..{j1} cannot be matched inside "
                 f"label window [{lo}, {hi}]"
             )
         prev = cur
-    p = int(np.argmax(prev))
+    # the last used position must leave no AK above it
+    tail_ok = seg >= (len(akrel))
+    final = np.where(tail_ok, prev, NEG)
+    if not np.isfinite(final.max()):
+        raise ValueError(
+            f"witness entries {j0 + 1}..{j1} leave an always-kept label "
+            f"unused in window [{lo}, {hi}]"
+        )
+    p = int(np.argmax(final))
     for j in range(j1 - 1, j0 - 1, -1):
         pos[j] = lo + p
         if backs[j - j0] is not None:
