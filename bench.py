@@ -339,32 +339,43 @@ def main():
     platform = jax.devices()[0].platform
     dev = str(jax.devices()[0])
 
-    n = 1 << msm_log
+    # Global watchdog (round-4 post-mortem: the driver's `timeout` killed
+    # the process mid-compile before ANY line printed, rc=124, empty
+    # artifact — twice).  The watchdog prints whatever has been measured
+    # so far and exits 0 before an external timeout can fire.
+    line = {
+        "metric": "msm_g1_points_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "points/s/chip",
+        "vs_baseline": 0.0,
+        "platform": platform,
+        "device": dev,
+        "partial": True,
+    }
+    total_deadline = float(
+        os.environ.get("COCIRCOM_BENCH_TOTAL_DEADLINE_S", "3300"))
+    t_bench0 = time.time()
 
-    # --- on-device input generation (tunnel-friendly) ---
+    def watchdog():
+        time.sleep(total_deadline)
+        line["bench_wall_s"] = round(time.time() - t_bench0, 1)
+        line["watchdog_fired"] = True
+        print(json.dumps(line), flush=True)
+        sys.stdout.flush()
+        os._exit(0)
+
+    import threading
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    def emit():
+        line["bench_wall_s"] = round(time.time() - t_bench0, 1)
+        print(json.dumps(line), flush=True)
+
+    # Legs run cheapest-compile first so SOMETHING prints within minutes
+    # even on a cold remote-compile cache.
     key = jax.random.key(7)
     k1, k2, k3 = jax.random.split(key, 3)
-
-    @jax.jit
-    def gen_points(key):
-        gen = ops.encode_points([curve.g1_gen])
-        genb = jax.tree.map(lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], n)), gen)
-        small = jax.random.bits(key, (1, n), jnp.uint32) & 0x7FFF | 1
-        return ops.scalar_mul(genb, small, nbits=16)
-
-    @jax.jit
-    def gen_scalars(key):
-        s = jax.random.bits(key, (fr.L, n), jnp.uint32) & 0xFFFF
-        return s.at[fr.L - 1].set(s[fr.L - 1] & 0x3FFF)
-
-    pts = gen_points(k1)
-    scalars = gen_scalars(k2)
-    fetch(pts)
-
-    msm_t = timed(lambda: eng.msm(pts, scalars), iters)
-    msm_pps = n / msm_t
-
-    # --- NTT ---
     m = 1 << ntt_log
 
     @jax.jit
@@ -373,27 +384,52 @@ def main():
         return fr._cond_sub_p(raw.at[fr.L - 1].set(raw[fr.L - 1] & 0x3FFF))
 
     coeffs = gen_coeffs(k3)
-    ntt_t = timed(lambda: ntt.ntt(coeffs), iters)
+    fetch(coeffs)
 
-    # --- field mul throughput at NTT size ---
+    # --- 1. field mul throughput at NTT size (smallest program) ---
     mm_t = timed(lambda: fr.mont_mul(coeffs, coeffs), max(iters, 4))
+    line["mont_mul_per_sec"] = round(m / mm_t, 1)
+    emit()
 
-    line = {
-        "metric": "msm_g1_points_per_sec_per_chip",
-        "value": round(msm_pps, 1),
-        "unit": "points/s/chip",
+    # --- 2. NTT ---
+    ntt_t = timed(lambda: ntt.ntt(coeffs), iters)
+    line["ntt_n"] = m
+    line["ntt_ms"] = round(ntt_t * 1e3, 2)
+    emit()
+
+    # --- 3. MSM: 2^17 first (fallback headline), then the full size ---
+    def msm_at(log_n):
+        n = 1 << log_n
+
+        @jax.jit
+        def gen_points(key):
+            gen = ops.encode_points([curve.g1_gen])
+            genb = jax.tree.map(
+                lambda c: jnp.broadcast_to(c[..., 0:1], (c.shape[0], n)), gen)
+            small = jax.random.bits(key, (1, n), jnp.uint32) & 0x7FFF | 1
+            return ops.scalar_mul(genb, small, nbits=16)
+
+        @jax.jit
+        def gen_scalars(key):
+            s = jax.random.bits(key, (fr.L, n), jnp.uint32) & 0xFFFF
+            return s.at[fr.L - 1].set(s[fr.L - 1] & 0x3FFF)
+
+        pts = gen_points(k1)
+        scalars = gen_scalars(k2)
+        fetch(pts)
+        t = timed(lambda: eng.msm(pts, scalars), iters)
+        return n, t
+
+    for log_n in sorted({min(17, msm_log), msm_log}):
+        n, msm_t = msm_at(log_n)
+        msm_pps = n / msm_t
+        line["value"] = round(msm_pps, 1)
         # ratio vs the round-1 headline (35,456 points/s at 2^15, v5e)
-        "vs_baseline": round(msm_pps / 35456.0, 2),
-        "platform": platform,
-        "device": dev,
-        "msm_n": n,
-        "msm_ms": round(msm_t * 1e3, 2),
-        "ntt_n": m,
-        "ntt_ms": round(ntt_t * 1e3, 2),
-        "mont_mul_per_sec": round(m / mm_t, 1),
-    }
-    # Headline metrics are safe the moment they exist (round-3 lesson).
-    print(json.dumps(line), flush=True)
+        line["vs_baseline"] = round(msm_pps / 35456.0, 2)
+        line["msm_n"] = n
+        line["msm_ms"] = round(msm_t * 1e3, 2)
+        line.pop("partial", None)
+        emit()
 
     # --- co-UltraHonk REP3 co-prove (poseidon size) under its own deadline.
     if int(os.environ.get("COCIRCOM_BENCH_HONK", "1")):

@@ -13,13 +13,17 @@ from typing import Callable
 from .net import LocalNetwork
 
 
-def run_parties(fn: Callable, n: int = 3, timeout: float = 1800.0) -> list:
+def run_parties(fn: Callable, n: int = 3, timeout: float = 1800.0,
+                device: bool = True) -> list:
     """fn(party_id, net) -> result; returns [result_0, ..., result_{n-1}]."""
     # device=True: co-located threads hand arrays over zero-copy (on the
     # CPU backend device arrays ARE host memory; materializing to numpy on
     # every send just forced a synchronous flush per round). The TCP path
     # exercises real serialization; this fixture exercises the protocol.
-    nets = LocalNetwork.create(n, device=True)
+    # Pass device=False to route through the host-serialization path
+    # (_to_host) that a real wire exercises — at least one protocol test
+    # keeps codec coverage there (tests/test_rep3_binary.py).
+    nets = LocalNetwork.create(n, device=device)
     results = [None] * n
     errors = [None] * n
 

@@ -240,7 +240,7 @@ class SubstitutionMap:
 
 
 def simplify_constraints(constraints, forbidden, p, pos, level: int = 2,
-                         keep=None):
+                         keep=None, prefer=frozenset(), lin_seen=None):
     """Run circom's constraint simplification.
 
     constraints: list[Constraint] in generation order.
@@ -263,6 +263,18 @@ def simplify_constraints(constraints, forbidden, p, pos, level: int = 2,
         pivot heuristic (the eliminated set determines the layout; any
         Gauss order over the same eliminated set yields equivalent
         substitutions).
+    prefer: signal uids to pivot on EARLY. The single-pass greedy
+        max-position pivot can strand a to-be-eliminated signal inside
+        substitution chains (every row containing it gets consumed as
+        another signal's pivot) even though a valid elimination order
+        exists; callers retry with the stranded signals in `prefer`
+        (compiler.run_simplify). Order changes only the substitution
+        route, never the kept set, so the witness layout is unaffected.
+    lin_seen: optional set; filled with every signal that appears in a
+        linear row at ANY point of the run — including rows born from
+        quad collapse. This is the true "could be Gauss-eliminated"
+        candidate set (fit_layout's structural always-kept prior must use
+        it: a signal linear only via a collapsing quad IS eliminable).
 
     Returns (kept_uids: set, subs: SubstitutionMap). kept_uids contains every
     signal that occurs in the simplified system; callers must union it with
@@ -325,6 +337,8 @@ def simplify_constraints(constraints, forbidden, p, pos, level: int = 2,
     while True:
         for lc0 in reorder(linear):
             lc = subs.apply(lc0)
+            if lin_seen is not None:
+                lin_seen.update(lc_signals(lc))
             sig = [s for s in lc_signals(lc) if s not in forbidden]
             if not sig:
                 if lc_signals(lc):
@@ -335,7 +349,7 @@ def simplify_constraints(constraints, forbidden, p, pos, level: int = 2,
             if level == 1 and not is_o1(lc):
                 retained.append(lc)
                 continue
-            pivot = max(sig, key=lambda s: pos[s])
+            pivot = max(sig, key=lambda s: (s in prefer, pos[s]))
             rhs = lc_scale(
                 {k: v for k, v in lc.items() if k != pivot},
                 (p - pow(lc[pivot], -1, p)) % p,
@@ -357,9 +371,25 @@ def simplify_constraints(constraints, forbidden, p, pos, level: int = 2,
             else:
                 still_quads.append(q)
         quads = still_quads
-        if not new_linear:
+
+        # Retained rows re-checked under the UPDATED subs: a row retained
+        # when its visible support was all-kept can re-gain an eliminable
+        # signal through a substitution chain added later (forced-keep
+        # mode strands signals this way — pedersen_test uid@6978).
+        re_lin = []
+        still_ret = []
+        for lc in retained:
+            a = subs.apply(lc)
+            elim = [s for s in lc_signals(a) if s not in forbidden]
+            if elim and (level != 1 or is_o1(a)):
+                re_lin.append(a)
+            else:
+                still_ret.append(lc)
+        retained = still_ret
+
+        if not new_linear and not re_lin:
             break
-        linear = new_linear
+        linear = new_linear + re_lin
 
     kept: set[int] = set()
     for lc in retained:

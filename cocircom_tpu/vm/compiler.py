@@ -81,6 +81,19 @@ class CompiledCircuit:
         return self.n_signals + 1
 
 
+class LayoutReconcileError(ValueError):
+    """A forced kept-label set could not be realized by the simplifier.
+
+    stuck_positions: 0-based positions (in the full label order) of the
+    signals the simplifier refused to eliminate — callers fitting a layout
+    from a sample witness (vm/fit_layout.py) use them as mandatory anchors
+    for a refit."""
+
+    def __init__(self, msg, stuck_positions=()):
+        super().__init__(msg)
+        self.stuck_positions = tuple(stuck_positions)
+
+
 class _Return(Exception):
     def __init__(self, value):
         self.value = value
@@ -860,17 +873,33 @@ def compile_circom(
     def run_simplify(keep_uids):
         """simplify with a forced kept-set; returns (kept, subs) or None if
         the forced set is inconsistent (signals circom eliminated cannot be
-        eliminated under this set)."""
-        kept_c, subs = alg.simplify_constraints(
-            el.constraints, forbidden, el.p, pos, level=opt,
-            keep=keep_uids,
-        )
-        kept = kept_c | forbidden | {u for u in el.pinned if u not in subs}
-        if keep_uids is not None:
-            if kept - keep_uids - forbidden:
-                return None
-            kept |= keep_uids
-        return kept, subs
+        eliminated under this set). The greedy pivot order can strand an
+        eliminable signal (all its rows consumed as other pivots); stranded
+        signals are retried as early-pivot preferences — pivot ORDER never
+        changes the kept set, so the layout is unaffected."""
+        prefer: set[int] = set()
+        for _ in range(32):
+            kept_c, subs = alg.simplify_constraints(
+                el.constraints, forbidden, el.p, pos, level=opt,
+                keep=keep_uids, prefer=frozenset(prefer),
+                lin_seen=lin_seen,
+            )
+            kept = kept_c | forbidden | {
+                u for u in el.pinned if u not in subs
+            }
+            if keep_uids is None:
+                return kept, subs
+            stuck = kept - keep_uids - forbidden
+            if not stuck:
+                return kept | keep_uids, subs
+            if stuck <= prefer:  # no progress: genuinely inconsistent
+                break
+            prefer |= stuck
+        stuck_acc.update(stuck)
+        return None
+
+    stuck_acc: set[int] = set()
+    lin_seen: set[int] = set()  # all signals ever in a linear row
 
     if opt == 0:
         kept = set(el.sig_owner.keys())
@@ -924,10 +953,13 @@ def compile_circom(
                 result = r
                 break
         if result is None:
-            raise ValueError(
+            raise LayoutReconcileError(
                 "could not reconcile the r1cs wire2label map with this "
                 "circuit's label order (r1cs from a different circuit or "
-                "-O level?)"
+                "-O level?)",
+                stuck_positions=sorted(
+                    pos[u] for u in stuck_acc if u in pos
+                ),
             )
         kept, subs = result
 
@@ -1073,6 +1105,7 @@ def compile_circom(
             "node_rank": node_rank,
             "root": root,
             "kept": kept,
+            "lin_seen": lin_seen,
         }
     return cc
 

@@ -65,12 +65,14 @@ def _host_runs(src, curve, link, inputs_list, opt):
     return cc, [vm.run_host(inp) for inp in inputs_list]
 
 
-def fit_keep_labels(src, curve, link, inputs_list, wants):
+def fit_keep_labels(src, curve, link, inputs_list, wants, extra_ak=()):
     """Fit circom's kept-label set from committed witnesses.
 
     inputs_list: list of input dicts; wants: matching list of full circom
-    witness value lists (ints, index 0 == 1). Returns (keep_labels,
-    n_labels) for compile_circom."""
+    witness value lists (ints, index 0 == 1). extra_ak: 0-based full-order
+    positions that MUST be chosen (simplifier-feasibility feedback from
+    fit_keep_labels_validated). Returns (keep_labels, n_labels) for
+    compile_circom."""
     assert len(inputs_list) == len(wants) and wants
     W = len(wants[0])
     assert all(len(w) == W for w in wants), "witness lengths differ"
@@ -92,18 +94,19 @@ def fit_keep_labels(src, curve, link, inputs_list, wants):
     # valid layout — circom's included. These pin most of a bit-heavy
     # circuit (sha256: nonlinear b*c constraints everywhere), leaving the
     # value-matching DP only the true linear-cluster ambiguity.
-    el2 = cc2._debug["el"]
-    from .algebra import lc_signals
-
-    elim_cand: set = set()
-    for c in el2.constraints:
-        if c.is_linear():
-            lin = c.linearized(el2.p)
-            if lin:
-                elim_cand.update(lc_signals(lin))
+    # Signals that EVER appeared in a linear row during the default-O2
+    # simplify (including rows born from quad collapse — compiler
+    # _debug["lin_seen"]). A quad-only signal by the static is_linear()
+    # test can still be eliminated through a collapsing quad, so the
+    # static set over-claims always-kept positions (pedersen_test: 8
+    # claims for a 7-entry window).
+    elim_cand: set = set(cc2._debug["lin_seen"])
     ak = sorted(
-        i for i, s in enumerate(order2)
-        if s.uid in kept2 and s.uid not in elim_cand
+        set(
+            i for i, s in enumerate(order2)
+            if s.uid in kept2 and s.uid not in elim_cand
+        )
+        | set(extra_ak)
     )
 
     # value tuples (one per input) for want entry j / full position p
@@ -143,8 +146,46 @@ def fit_keep_labels(src, curve, link, inputs_list, wants):
         return _assign(wv, fv, e, lt, prior, prior_set, freq, ak), F
     except ValueError:
         # the structural-anchor assumption failed somewhere (an AK-pinned
-        # pair is value-infeasible): retry unconstrained
-        return _assign(wv, fv, e, lt, prior, prior_set, freq, []), F
+        # pair is value-infeasible): retry with only the mandatory anchors
+        return _assign(
+            wv, fv, e, lt, prior, prior_set, freq, sorted(set(extra_ak))
+        ), F
+
+
+def fit_keep_labels_validated(src, curve, link, inputs_list, wants,
+                              max_rounds=24):
+    """fit_keep_labels + simplifier-feasibility feedback via anchors.
+
+    The value-matching DP can land on an assignment the simplifier cannot
+    realize: inside a zero-run (all-inputs-equal values) the witness
+    cannot distinguish which twin circom kept (pedersen_test diverges at
+    2 of 1996 positions this way), and the DP\'s pick may be structurally
+    un-eliminable the other way around. compile_circom re-validates the
+    pin; its LayoutReconcileError names the positions it refused to
+    eliminate; those become mandatory anchors (extra_ak) for a refit, so
+    the DP re-solves globally with them pinned — the refit stays
+    byte-exact by construction (positions only ever move between value
+    twins)."""
+    from .compiler import LayoutReconcileError
+
+    extra: set[int] = set()
+    for _ in range(max_rounds):
+        keep, nl = fit_keep_labels(
+            src, curve, link, inputs_list, wants, extra_ak=sorted(extra)
+        )
+        try:
+            compile_circom(
+                src, curve, link=link, keep_labels=keep, n_labels=nl
+            )
+            return keep, nl
+        except LayoutReconcileError as ex:
+            new = set(ex.stuck_positions) - extra
+            if not new:
+                raise
+            extra |= new
+    raise ValueError(
+        f"layout fit did not converge after {max_rounds} anchored rounds"
+    )
 
 
 def _assign(wv, fv, e, lt, prior, prior_set, freq, ak):

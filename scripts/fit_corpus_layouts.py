@@ -21,7 +21,7 @@ from cocircom_tpu.fields.params import BN254  # noqa: E402
 from cocircom_tpu.io.witness import read_wtns  # noqa: E402
 from cocircom_tpu.mpc.driver import plain_driver  # noqa: E402
 from cocircom_tpu.vm.compiler import compile_circom  # noqa: E402
-from cocircom_tpu.vm.fit_layout import fit_keep_labels  # noqa: E402
+from cocircom_tpu.vm.fit_layout import fit_keep_labels_validated  # noqa: E402
 from cocircom_tpu.vm.mpc_vm import WitnessExtension  # noqa: E402
 
 TV = "/root/reference/test_vectors/WitnessExtension"
@@ -62,7 +62,9 @@ def main():
                 ).values_ints()
             )
             i += 1
-        keep, nl = fit_keep_labels(src, BN254, LINK, inputs_list, wants)
+        keep, nl = fit_keep_labels_validated(
+            src, BN254, LINK, inputs_list, wants
+        )
         cc = compile_circom(
             src, BN254, link=LINK, keep_labels=keep, n_labels=nl
         )

@@ -50,6 +50,23 @@ def test_a2b_roundtrip_and_compare():
         assert ge == want_ge
 
 
+def test_a2b_roundtrip_host_codec():
+    """Same a2b round-trip over the HOST-serialization network path
+    (device=False): keeps encode/decode regression coverage on a protocol
+    test rather than only the TCP smoke test (advisor r4)."""
+    rng = random.Random(63)
+    x = [rng.randrange(FR.p) for _ in range(3)]
+    xs = share_field_vec(FR, FR.encode(x), seed=73)
+
+    def party(i, net):
+        d = Rep3Driver(BN254, net)
+        bx = d.binary.a2b(xs[i])
+        return [int(v) for v in FR.from_limbs(d.binary.open(bx))]
+
+    for bits in run_parties(party, device=False):
+        assert bits == x
+
+
 def test_rep3_vm_comparisons():
     """Secret comparisons in the witness VM (signed circom semantics)."""
     from cocircom_tpu.mpc.driver import PlainDriver
