@@ -40,12 +40,20 @@ from .pallas_field import _add_mod, _mont_core, _sub_mod
 
 import os
 
-# largest in-kernel transform: 2^KMAX points on the sublane axis. KMAX=8
-# cuts 2^22 from 4 recursion levels (7+7+7+1) to 3 (8+7+7): one fewer HBM
-# round trip + inter-level transpose + twiddle post-multiply. Kernel VMEM
-# doubles (~60 MB peak at logm=8, under the 100 MB cap below).
-KMAX = int(os.environ.get("COCIRCOM_NTT_KMAX", "8"))
+# largest in-kernel transform: 2^KMAX points on the sublane axis. With the
+# constant-geometry stage loop (below) kernel compile time is O(1) in KMAX,
+# so KMAX is bounded only by VMEM: the (L, M, TILE) carry + out block +
+# twiddle stack peak ~35 MB at KMAX=11 (v5e has 128 MB). KMAX=11 runs 2^22
+# as exactly TWO recursion levels (11+11): two HBM round trips total.
+KMAX = int(os.environ.get("COCIRCOM_NTT_KMAX", "11"))
 TILE = 128  # lanes per grid step
+
+
+def _tile_of(M: int) -> int:
+    """Lanes per grid step: halved for big in-kernel transforms so the
+    double-buffered in/out/post windows + ping-pong scratch fit VMEM
+    (at logm=11, L=16: TILE=128 needs ~140 MB; TILE=64 ~76 MB)."""
+    return TILE if M <= 1024 else TILE // 2
 
 
 def _bitrev_np(logn: int) -> np.ndarray:
@@ -57,105 +65,158 @@ def _bitrev_np(logn: int) -> np.ndarray:
     return rev.astype(np.int32)
 
 
-def _make_ntt_kernel(L, p_limbs, np_limbs, logm: int, with_post: bool, ks):
+# sublane pairs processed per inner-loop step. Mosaic compile time scales
+# with the vreg volume of each MATERIALIZED op (an op on (L, M/2, 128) u32
+# is M/2 vregs of IR; the mont core is ~300 ops), so the kernel below keeps
+# every materialized op at CHUNK sublanes and loops -- compile time is O(1)
+# in logm instead of O(M).
+CHUNK = int(os.environ.get("COCIRCOM_NTT_CHUNK", "32"))
+
+
+def _chunk_of(H: int) -> int:
+    return max(1, min(CHUNK, H))
+
+
+def _make_ntt_kernel(L, p_limbs, np_limbs, logm: int, ks):
+    """Constant-geometry (Pease) radix-2 DIF: EVERY stage reads the two
+    contiguous halves (j, j+M/2), computes a = e + o, b = (e - o) * w, and
+    writes the pair interleaved to (2j, 2j+1) — register interleave on the
+    STORE side, which Mosaic lowers ~12x faster than a stride-2 sublane
+    extract on the load side (53 vs 658 M mont/s measured on v5e).
+    Input is NATURAL order; output is BIT-REVERSED (the caller unpermutes).
+    Stage-s twiddle for pair j is omega_M^{(j >> (s-1)) << (s-1)}
+    (verified vs the textbook DFT; bit-exactness vs ops/ntt.py's per-stage
+    engine is asserted in tests/test_pallas_ntt.py).
+
+    Mosaic compile time scales with materialized IR, so the stage sequence
+    runs as a fori_loop over stage PAIRS ping-ponging between the scratch
+    ref and the output window (refs can't be picked by a traced parity):
+    at most 3 peeled stage bodies + 2 in-loop bodies are materialized,
+    O(1) in logm.  The previous fully-unrolled form took 89 s to compile
+    at logm=6 and >9 min at logm=11 on v5e; this form ~17 s flat."""
     p_limbs = [int(v) for v in p_limbs]
     np_limbs = [int(v) for v in np_limbs]
     M = 1 << logm
+    H = M // 2
 
-    def run(x_ref, twprog_ref, post_ref, o_ref, s_ref):
-        """Stage stores go to a ping-pong ref and the Montgomery core runs
-        at a CONSTANT flat (L, M/2, T) shape every stage: Mosaic allocates
-        kernel temporaries statically per distinct shape, and the naive
-        per-stage 4-D mont shapes kept 8 stages' buffers alive at once
-        (observed 193 MB scoped vmem at logm=8). Only the cheap even/odd
-        extract and interleave touch transient 4-D views."""
-        n_writes = logm + (1 if with_post else 0)
+    def kernel_small(x_ref, twstk_ref, o_ref, s_ref):
+        # Unrolled value path for tiny kernels (M <= 64 = at most 8 vregs
+        # per op): IR is small anyway.
+        cur = x_ref[:]
+        for s in range(logm):
+            e = cur[:, :H, :]
+            o = cur[:, H:, :]
+            d = _sub_mod(e, o, p_limbs, L)
+            b = _mont_core(
+                d, twstk_ref[s, 0][:, :, None], L, p_limbs, np_limbs, ks)
+            a = _add_mod(e, o, p_limbs, L)
+            cur = jnp.stack([a, b], axis=2).reshape(L, M, -1)
+        o_ref[:] = cur
 
-        def target(k):  # k-th write (1-based); the LAST lands in o_ref
-            return o_ref if (n_writes - k) % 2 == 0 else s_ref
+    CH = _chunk_of(H)
+    nch = H // CH
 
-        cur = x_ref
-        for s in range(1, logm + 1):
-            m = 1 << s
-            half = m // 2
-            x = cur[:]
-            T = x.shape[2]
-            v = x.reshape(L, M // m, m, T)
-            e = v[:, :, :half, :].reshape(L, M // 2, T)
-            o = v[:, :, half:, :].reshape(L, M // 2, T)
-            # omega_{2^s}^j tiled over groups: (L, half) -> (L, M/2)
-            w = jnp.broadcast_to(
-                twprog_ref[:, half:m][:, None, :, None],
-                (L, M // m, half, 1),
-            ).reshape(L, M // 2, 1)
-            t = _mont_core(o, w, L, p_limbs, np_limbs, ks)
-            add = _add_mod(e, t, p_limbs, L).reshape(L, M // m, half, T)
-            sub = _sub_mod(e, t, p_limbs, L).reshape(L, M // m, half, T)
-            dst = target(s)
-            dst[:] = jnp.concatenate([add, sub], axis=2).reshape(L, M, T)
-            cur = dst
-        if with_post:
-            o_ref[:] = _mont_core(
-                cur[:], post_ref[:], L, p_limbs, np_limbs, ks
-            )
+    def _stage(s, src_ref, dst_ref, twstk_ref, T):
+        """One constant-geometry stage src->dst, chunked over sublanes.
+        Materializes ONE CHUNK-wide body (the chunk loop is scf.For)."""
 
-    if with_post:
+        def chunk(c, _):
+            e = src_ref[:, pl.ds(c * CH, CH), :]
+            o = src_ref[:, pl.ds(H + c * CH, CH), :]
+            w = twstk_ref[s, c]  # (L, CH); dynamic lane offsets are
+            # illegal in Mosaic, so the chunk axis is a leading dim
+            d = _sub_mod(e, o, p_limbs, L)
+            b = _mont_core(d, w[:, :, None], L, p_limbs, np_limbs, ks)
+            a = _add_mod(e, o, p_limbs, L)
+            dst_ref[:, pl.ds(c * 2 * CH, 2 * CH), :] = jnp.stack(
+                [a, b], axis=2).reshape(L, 2 * CH, T)
+            return 0
 
-        def kernel(x_ref, twprog_ref, post_ref, o_ref, s_ref):
-            run(x_ref, twprog_ref, post_ref, o_ref, s_ref)
+        jax.lax.fori_loop(0, nch, chunk, 0)
 
-    else:
+    def kernel(x_ref, twstk_ref, o_ref, s_ref):
+        T = x_ref.shape[2]
+        # Peel stages so the remaining count is even and data sits in
+        # o_ref at loop entry; each loop iteration does o->s then s->o,
+        # so the transform finishes in o_ref.
+        if logm % 2 == 1:
+            _stage(0, x_ref, o_ref, twstk_ref, T)
+            done = 1
+        else:
+            _stage(0, x_ref, s_ref, twstk_ref, T)
+            if logm >= 2:
+                _stage(1, s_ref, o_ref, twstk_ref, T)
+            done = 2
 
-        def kernel(x_ref, twprog_ref, o_ref, s_ref):
-            run(x_ref, twprog_ref, None, o_ref, s_ref)
+        if logm > done:
 
-    return kernel
+            def pair(k, _):
+                s = done + 2 * k
+                _stage(s, o_ref, s_ref, twstk_ref, T)
+                _stage(s + 1, s_ref, o_ref, twstk_ref, T)
+                return 0
+
+            jax.lax.fori_loop(0, (logm - done) // 2, pair, 0)
+
+    return kernel_small if M <= 64 else kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _ntt_call(field, logm: int, lanes: int, with_post: bool, interpret, ks):
+def _ntt_call(field, logm: int, lanes: int, interpret, ks):
     L = field.L
     M = 1 << logm
     kernel = _make_ntt_kernel(
-        L, field.p_limbs, field.nprime_limbs, logm, with_post, ks
-    )
+        L, field.p_limbs, field.nprime_limbs, logm, ks)
     blk = pl.BlockSpec((L, M, TILE), lambda j: (0, 0, j), memory_space=pltpu.VMEM)
-    tw = pl.BlockSpec((L, M), lambda j: (0, 0), memory_space=pltpu.VMEM)
-    specs = [blk, tw] + ([blk] if with_post else [])
+    CH = _chunk_of(M // 2)
+    tw = pl.BlockSpec(
+        (logm, (M // 2) // CH, L, CH),
+        lambda j: (0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((L, M, lanes), jnp.uint32),
         grid=(lanes // TILE,),
-        in_specs=specs,
+        in_specs=[blk, tw],
         out_specs=blk,
         scratch_shapes=[pltpu.VMEM((L, M, TILE), jnp.uint32)],
         interpret=bool(interpret),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # the stage pipeline peaks ~30 MB of kernel stack at logm=7;
-            # v5e has 128 MB VMEM — raise the default 16 MB scoped cap
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # scratch 16M + double-buffered in/out windows 2x32M = ~80 MB
+            # at logm=11, L=16; v5e has 128 MB VMEM -- raise the 16 MB cap
+            vmem_limit_bytes=112 * 1024 * 1024,
         )
         if not interpret
         else None,
     )
 
 
-def _col_ntt(f, x, logm: int, twprog, post, interpret, ks):
-    """NTT along axis 1 of (L, M, B) with M = 2^logm <= 2^KMAX; input in
-    natural order (bit-reversal applied here); post: optional (L, M, B)
-    Montgomery factor applied after the transform."""
+def _col_ntt(f, x, logm: int, twstk, post, interpret, ks):
+    """NTT along axis 1 of (L, M, B) with M = 2^logm <= 2^KMAX; natural
+    order in AND out (the kernel emits bit-reversed order; the unpermute
+    is one XLA gather out here).  post: optional (L, M, B) Montgomery
+    factor applied after the transform (outside the kernel: a third VMEM
+    window would overflow v5e VMEM at logm=11, and the mul work is
+    identical either way).  twstk: (logm, L, M/2) per-stage
+    constant-geometry twiddle stack from build_aux."""
     L, M, B = x.shape
-    x = jnp.take(x, jnp.asarray(_bitrev_np(logm)), axis=1)
+    CH = _chunk_of(M // 2)
+    twstk = jnp.transpose(
+        twstk.reshape(logm, L, (M // 2) // CH, CH), (0, 2, 1, 3)
+    )
     pad = (-B) % TILE
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
-        if post is not None:
-            post = jnp.pad(post, ((0, 0), (0, 0), (0, pad)))
-    args = (x, twprog) + ((post,) if post is not None else ())
-    out = _ntt_call(f, logm, B + pad, post is not None, interpret, ks)(*args)
+    out = _ntt_call(f, logm, B + pad, interpret, ks)(x, twstk)
     if pad:
         out = out[:, :, :B]
+    out = jnp.take(out, jnp.asarray(_bitrev_np(logm)), axis=1)
+    if post is not None:
+        out = f.mont_mul(
+            out.reshape(L, M * B), post.reshape(L, M * B)
+        ).reshape(L, M, B)
     return out
 
 
@@ -172,14 +233,14 @@ def fourstep_ntt(f, x, logm: int, aux: dict, interpret=False, ks=False,
             post = jnp.broadcast_to(
                 aux[f"scale_{logm}"][:, :, None], (L, M, B)
             )
-        return _col_ntt(f, x, logm, aux[f"twprog_{logm}"], post, interpret, ks)
+        return _col_ntt(f, x, logm, aux[f"twstk_{logm}"], post, interpret, ks)
     logu = min(kmax, logm - 1)
     logv = logm - logu
     U, V = 1 << logu, 1 << logv
     x4 = x.reshape(L, U, V * B)
     tbl = aux[f"tbl_{logm}"]  # (L, U, V): omega_M^{k1*v} (incl. 1/n at top)
     post = jnp.broadcast_to(tbl[:, :, :, None], (L, U, V, B)).reshape(L, U, V * B)
-    y = _col_ntt(f, x4, logu, aux[f"twprog_{logu}"], post, interpret, ks)
+    y = _col_ntt(f, x4, logu, aux[f"twstk_{logu}"], post, interpret, ks)
     y = y.reshape(L, U, V, B).transpose(0, 2, 1, 3).reshape(L, V, U * B)
     z = fourstep_ntt(f, y, logv, aux, interpret, ks, top=False, kmax=kmax)
     # (L, V, U*B): index along the new axis-1/2 pair is k2*U + k1 = natural
@@ -189,9 +250,10 @@ def fourstep_ntt(f, x, logm: int, aux: dict, interpret=False, ks=False,
 def build_aux(f, host, logn: int, inverse: bool, kmax=KMAX) -> dict:
     """Device twiddle material for fourstep_ntt at size 2^logn.
 
-    twprog_m: (L, 2^m) packed per-stage kernel twiddles (stage s at
-    [2^(s-1), 2^s)); tbl_m: (L, U, V) four-step factors for each recursion
-    level; scale_m / folded 1/n for inverse transforms."""
+    twstk_m: (m, L, 2^(m-1)) constant-geometry twiddle stack — row s-1
+    holds the stage-s twiddles omega_{2^s}^{j >> (m-s)} (each power
+    repeated 2^(m-s) times along j); tbl_m: (L, U, V) four-step factors
+    for each recursion level; scale_m / folded 1/n for inverse."""
     aux: dict = {}
     p = host.p
 
@@ -199,17 +261,21 @@ def build_aux(f, host, logn: int, inverse: bool, kmax=KMAX) -> dict:
         w = host.root_of_unity(logm)
         return host.inv(w) if inverse else w
 
-    def twprog(logm: int):
-        M = 1 << logm
-        vals = [1] * M
+    def twstk(logm: int):
+        # DIF constant-geometry schedule: stage s, pair j gets
+        # omega_{2^logm}^{(j >> (s-1)) << (s-1)} = root(logm-s+1)^{j >> (s-1)}
+        half = 1 << (logm - 1)
+        rows = []
         for s in range(1, logm + 1):
-            half = 1 << (s - 1)
-            ws = root(s)
-            cur = 1
-            for j in range(half):
-                vals[half + j] = cur
+            ws = root(logm - s + 1)
+            pw, cur = [], 1
+            for _ in range(1 << (logm - s)):
+                pw.append(cur)
                 cur = cur * ws % p
-        return f.encode(vals)
+            rep = 1 << (s - 1)
+            rows.extend(v for v in pw for _ in range(rep))
+        enc = f.encode(rows)  # (L, logm * half)
+        return jnp.transpose(enc.reshape(f.L, logm, half), (1, 0, 2))
 
     levels = []
     lm = logn
@@ -219,7 +285,7 @@ def build_aux(f, host, logn: int, inverse: bool, kmax=KMAX) -> dict:
         lm = lm - lu
     kernel_sizes = {lu for _, lu, _ in levels} | {lm}
     for k in kernel_sizes:
-        aux[f"twprog_{k}"] = twprog(k)
+        aux[f"twstk_{k}"] = twstk(k)
     if not levels and inverse:
         aux[f"scale_{logn}"] = f.encode([host.inv(1 << logn)])  # (L, 1)
     from .ntt import power_table
