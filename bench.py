@@ -324,6 +324,20 @@ def bench_rep3_prove(curve, prove_log: int, deadline_s: float) -> dict:
     return out
 
 
+def _attach_recorded(line):
+    """If a slow leg can't finish under the driver's deadline, attach the
+    last measurement recorded in docs/measured_perf.json (committed by a
+    full-length manual run), clearly labeled as recorded-not-fresh."""
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "docs", "measured_perf.json")) as f:
+            rec = json.load(f)
+        for k, v in rec.items():
+            line[f"recorded_{k}"] = v
+    except OSError:
+        pass
+
+
 def main():
     msm_log = int(os.environ.get("COCIRCOM_BENCH_MSM_LOG", "20"))
     ntt_log = int(os.environ.get("COCIRCOM_BENCH_NTT_LOG", "22"))
@@ -353,7 +367,7 @@ def main():
         "partial": True,
     }
     total_deadline = float(
-        os.environ.get("COCIRCOM_BENCH_TOTAL_DEADLINE_S", "3300"))
+        os.environ.get("COCIRCOM_BENCH_TOTAL_DEADLINE_S", "1500"))
     t_bench0 = time.time()
 
     def watchdog():
@@ -372,6 +386,12 @@ def main():
         line["bench_wall_s"] = round(time.time() - t_bench0, 1)
         print(json.dumps(line), flush=True)
 
+    # Round-4 post-mortem: the driver timeout killed the process before the
+    # first measurement line printed (first-contact Mosaic compiles ran for
+    # minutes) -- so the very first act is emitting a partial line, making
+    # an empty artifact impossible.
+    emit()
+
     # Legs run cheapest-compile first so SOMETHING prints within minutes
     # even on a cold remote-compile cache.
     key = jax.random.key(7)
@@ -387,14 +407,24 @@ def main():
     fetch(coeffs)
 
     # --- 1. field mul throughput at NTT size (smallest program) ---
-    mm_t = timed(lambda: fr.mont_mul(coeffs, coeffs), max(iters, 4))
-    line["mont_mul_per_sec"] = round(m / mm_t, 1)
+    mm_t, err = run_with_deadline(
+        lambda: timed(lambda: fr.mont_mul(coeffs, coeffs), max(iters, 4)),
+        float(os.environ.get("COCIRCOM_BENCH_LEG_DEADLINE_S", "420")))
+    if mm_t:
+        line["mont_mul_per_sec"] = round(m / mm_t, 1)
+    else:
+        line["mont_mul_error"] = err
     emit()
 
     # --- 2. NTT ---
-    ntt_t = timed(lambda: ntt.ntt(coeffs), iters)
+    ntt_t, err = run_with_deadline(
+        lambda: timed(lambda: ntt.ntt(coeffs), iters),
+        float(os.environ.get("COCIRCOM_BENCH_LEG_DEADLINE_S", "420")))
     line["ntt_n"] = m
-    line["ntt_ms"] = round(ntt_t * 1e3, 2)
+    if ntt_t:
+        line["ntt_ms"] = round(ntt_t * 1e3, 2)
+    else:
+        line["ntt_error"] = err
     emit()
 
     # --- 3. MSM: 2^17 first (fallback headline), then the full size ---
@@ -421,7 +451,14 @@ def main():
         return n, t
 
     for log_n in sorted({min(17, msm_log), msm_log}):
-        n, msm_t = msm_at(log_n)
+        out, err = run_with_deadline(
+            lambda log_n=log_n: msm_at(log_n),
+            float(os.environ.get("COCIRCOM_BENCH_MSM_DEADLINE_S", "900")))
+        if out is None:
+            line[f"msm_2^{log_n}_error"] = err
+            emit()
+            continue
+        n, msm_t = out
         msm_pps = n / msm_t
         line["value"] = round(msm_pps, 1)
         # ratio vs the round-1 headline (35,456 points/s at 2^15, v5e)
@@ -434,13 +471,14 @@ def main():
     # --- co-UltraHonk REP3 co-prove (poseidon size) under its own deadline.
     if int(os.environ.get("COCIRCOM_BENCH_HONK", "1")):
         honk_deadline = float(
-            os.environ.get("COCIRCOM_BENCH_HONK_DEADLINE_S", "1800"))
+            os.environ.get("COCIRCOM_BENCH_HONK_DEADLINE_S", "600"))
         honk, err = run_with_deadline(
             lambda: bench_co_honk(curve), honk_deadline)
         if honk:
             line.update(honk)
         else:
             line["honk_error"] = err
+            _attach_recorded(line)
         print(json.dumps(line), flush=True)
 
     # --- the BASELINE north star: full co-Groth16 REP3 prove at
@@ -452,7 +490,7 @@ def main():
     prove_log = int(os.environ.get("COCIRCOM_BENCH_PROVE_LOG", "20"))
     if prove_log:
         prove_deadline = float(
-            os.environ.get("COCIRCOM_BENCH_PROVE_DEADLINE_S", "5400"))
+            os.environ.get("COCIRCOM_BENCH_PROVE_DEADLINE_S", "900"))
         prove, err = run_with_deadline(
             lambda: bench_rep3_prove(curve, prove_log, prove_deadline),
             deadline_s=prove_deadline + 60)
@@ -460,6 +498,7 @@ def main():
             line.update(prove)
         else:
             line["prove_error"] = err
+            _attach_recorded(line)
         print(json.dumps(line), flush=True)
 
     # Daemon worker threads (a timed-out prove leg) must not block exit.

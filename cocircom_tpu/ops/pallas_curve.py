@@ -320,7 +320,7 @@ def _b3_limbs(ops):
 
 
 def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False,
-                         d3=False):
+                         d3=False, has_neg=True):
     p_limbs = [int(v) for v in p_limbs]
     np_limbs = [int(v) for v in np_limbs]
 
@@ -353,17 +353,24 @@ def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False,
             h = L // 2
 
             def unpack(pk):
+                # split-halves pack (msm.py _affine_em): lo = limbs [0, L/2),
+                # hi = limbs [L/2, L) — plain concat, no sublane interleave
                 lo = pk & jnp.uint32(0xFFFF)
                 hi = pk >> 16
-                return jnp.stack([lo, hi], axis=1).reshape(L, *pk.shape[1:])
+                return jnp.concatenate([lo, hi], axis=0)
 
             x2 = unpack(t[:h])
             y2 = unpack(t[h:])
         else:
             x2 = t[:L]
             y2 = t[L:]
-        zero = jnp.zeros_like(x2)
-        y2n = jnp.where(neg[:] != 0, _sub_mod(zero, y2, p_limbs, L), y2)
+        if has_neg:
+            zero = jnp.zeros_like(x2)
+            y2n = jnp.where(neg[:] != 0, _sub_mod(zero, y2, p_limbs, L), y2)
+        else:
+            # sign already applied in the gathered table (msm.py
+            # _perm_signed_em)
+            y2n = y2
         # affine identity is encoded (0, 0) by to_affine_limbs
         inf2 = jnp.all((x2 == 0) & (y2 == 0), axis=0, keepdims=True)
         keep = (valid[:] != 0) & ~inf2
@@ -387,28 +394,40 @@ def _make_ec_madd_kernel(L, p_limbs, np_limbs, ks, packed=False, mxu=False,
         oy[:] = jnp.where(keep, y3, Y1)
         oz[:] = jnp.where(keep, z3, Z1)
 
-    if mxu:
+    if mxu and has_neg:
 
         def kernel(x1r, y1r, z1r, rows, neg, valid, nm, pm, ox, oy, oz):
             body(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz, (nm, pm))
 
-    else:
+    elif mxu:
+
+        def kernel(x1r, y1r, z1r, rows, valid, nm, pm, ox, oy, oz):
+            body(x1r, y1r, z1r, rows, None, valid, ox, oy, oz, (nm, pm))
+
+    elif has_neg:
 
         def kernel(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz):
             body(x1r, y1r, z1r, rows, neg, valid, ox, oy, oz, None)
+
+    else:
+
+        def kernel(x1r, y1r, z1r, rows, valid, ox, oy, oz):
+            body(x1r, y1r, z1r, rows, None, valid, ox, oy, oz, None)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _ec_madd_call3(field, nblk, interpret, ks, packed=False, mxu=False):
+def _ec_madd_call3(field, nblk, interpret, ks, packed=False, mxu=False,
+                   has_neg=True):
     """3-D tile variant: coords (L, nblk, LANES), rows (nblk, LANES, rw),
     masks (nblk, LANES); grid over nblk // SUBL."""
     from .pallas_field import LANES, SUBL
 
     L = field.L
     kernel = _make_ec_madd_kernel(
-        L, field.p_limbs, field.nprime_limbs, ks, packed, mxu, d3=True
+        L, field.p_limbs, field.nprime_limbs, ks, packed, mxu, d3=True,
+        has_neg=has_neg,
     )
     rw = L if packed else 2 * L
     grid = nblk // SUBL
@@ -422,7 +441,7 @@ def _ec_madd_call3(field, nblk, interpret, ks, packed=False, mxu=False):
         (SUBL, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     shape = jax.ShapeDtypeStruct((L, nblk, LANES), jnp.uint32)
-    in_specs = [spec, spec, spec, rspec, mspec, mspec]
+    in_specs = [spec, spec, spec, rspec] + [mspec] * (2 if has_neg else 1)
     if mxu:
         in_specs += [
             pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
@@ -448,17 +467,19 @@ def _ec_madd_call3(field, nblk, interpret, ks, packed=False, mxu=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _ec_madd_call(field, n, tile, interpret, ks, packed=False, mxu=False):
+def _ec_madd_call(field, n, tile, interpret, ks, packed=False, mxu=False,
+                  has_neg=True):
     L = field.L
     kernel = _make_ec_madd_kernel(
-        L, field.p_limbs, field.nprime_limbs, ks, packed, mxu
+        L, field.p_limbs, field.nprime_limbs, ks, packed, mxu,
+        has_neg=has_neg,
     )
     rw = L if packed else 2 * L
     spec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((tile, rw), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((L, n), jnp.uint32)
-    in_specs = [spec, spec, spec, rspec, mspec, mspec]
+    in_specs = [spec, spec, spec, rspec] + [mspec] * (2 if has_neg else 1)
     if mxu:
         in_specs += [
             pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0),
@@ -509,19 +530,20 @@ def ec_madd_pallas(ops, acc: ProjPoint, rows, neg, valid,
             rows2 = jnp.pad(rows2, ((0, pad), (0, 0)))
         r3 = rows2.reshape(-1, LANES, rw)
         m3 = []
-        for m in (neg, valid):
+        for m in ((neg, valid) if neg is not None else (valid,)):
             m2 = m.astype(jnp.uint32).reshape(n)
             if pad:
                 m2 = jnp.pad(m2, (0, pad))
             m3.append(m2.reshape(-1, LANES))
         outs = _ec_madd_call3(
             f, c3[0].shape[1], interpret, pallas_field.USE_KS, packed,
-            pallas_field.USE_MXU,
+            pallas_field.USE_MXU, has_neg=neg is not None,
         )(*c3, r3, *m3)
         return ProjPoint(
             *(o.reshape(L, -1)[:, :n].reshape((L,) + batch) for o in outs)
         )
-    masks = [m.astype(jnp.uint32).reshape(1, n) for m in (neg, valid)]
+    masks = [m.astype(jnp.uint32).reshape(1, n)
+             for m in ((neg, valid) if neg is not None else (valid,))]
     tile, pad = _tile_pad(n)
     if pad:
         flat = [jnp.pad(c, ((0, 0), (0, pad))) for c in flat]
@@ -529,7 +551,7 @@ def ec_madd_pallas(ops, acc: ProjPoint, rows, neg, valid,
         masks = [jnp.pad(m, ((0, 0), (0, pad))) for m in masks]
     outs = _ec_madd_call(
         f, n + pad, tile, interpret, pallas_field.USE_KS, packed,
-        pallas_field.USE_MXU,
+        pallas_field.USE_MXU, has_neg=neg is not None,
     )(*flat, rows2, *masks)
     if pad:
         outs = [o[:, :n] for o in outs]

@@ -48,6 +48,20 @@ from .mpc_vm import WitnessExtension
 RARE_MAX = 3
 
 
+class AkInfeasible(ValueError):
+    """A window was unsatisfiable under its always-kept constraints.
+
+    The structural always-kept heuristic over-claims on circuits where a
+    quad-collapse can eliminate a statically-quad-only signal
+    (pedersen_test: 8 AK claims inside a 7-entry window).  Carrying the
+    window's AK positions lets fit_keep_labels drop exactly the
+    speculative claims and re-solve."""
+
+    def __init__(self, msg, ak_positions):
+        super().__init__(msg)
+        self.ak_positions = tuple(ak_positions)
+
+
 def _host_runs(src, curve, link, inputs_list, opt):
     """Compile at `opt` and run every input on the host path."""
     from ..mpc.driver import plain_driver
@@ -142,14 +156,25 @@ def fit_keep_labels(src, curve, link, inputs_list, wants, extra_ak=()):
 
     freq = Counter(fv)
     prior_set = set(prior)
-    try:
-        return _assign(wv, fv, e, lt, prior, prior_set, freq, ak), F
-    except ValueError:
-        # the structural-anchor assumption failed somewhere (an AK-pinned
-        # pair is value-infeasible): retry with only the mandatory anchors
-        return _assign(
-            wv, fv, e, lt, prior, prior_set, freq, sorted(set(extra_ak))
-        ), F
+    mandatory = set(extra_ak)
+    cur_ak = list(ak)
+    for _ in range(64):
+        try:
+            return _assign(
+                wv, fv, e, lt, prior, prior_set, freq, cur_ak), F
+        except AkInfeasible as ex:
+            # shed the window's SPECULATIVE structural claims (never the
+            # simplifier-mandated extra_ak anchors) and re-solve
+            shed = set(ex.ak_positions) - mandatory
+            if not shed:
+                raise
+            cur_ak = [a for a in cur_ak if a not in shed]
+        except ValueError:
+            if set(cur_ak) == mandatory:
+                raise
+            # structural anchors failed some other way: mandatory only
+            cur_ak = sorted(mandatory)
+    raise ValueError("AK shedding did not converge after 64 rounds")
 
 
 def fit_keep_labels_validated(src, curve, link, inputs_list, wants,
@@ -168,21 +193,43 @@ def fit_keep_labels_validated(src, curve, link, inputs_list, wants,
     twins)."""
     from .compiler import LayoutReconcileError
 
-    extra: set[int] = set()
+    # `extra` is ORDERED oldest-first: each simplifier round's stuck
+    # positions are conditional on that round's twin assignment, so when
+    # anchors over-constrain a window (AkInfeasible on mandatory anchors
+    # — pedersen_test accumulates 8 anchors for a 7-entry window) the
+    # OLDEST anchor inside the failing window is the displaced twin and
+    # is dropped before retrying.
+    extra: list[int] = []
+    seen: set[tuple] = set()
     for _ in range(max_rounds):
-        keep, nl = fit_keep_labels(
-            src, curve, link, inputs_list, wants, extra_ak=sorted(extra)
-        )
+        state = tuple(sorted(extra))
+        if state in seen and extra:
+            extra.pop(0)  # break feedback cycles by forgetting history
+            continue
+        seen.add(state)
+        try:
+            keep, nl = fit_keep_labels(
+                src, curve, link, inputs_list, wants, extra_ak=extra
+            )
+        except AkInfeasible as ex:
+            window = set(ex.ak_positions)
+            for a in extra:
+                if a in window:
+                    extra.remove(a)
+                    break
+            else:
+                raise
+            continue
         try:
             compile_circom(
                 src, curve, link=link, keep_labels=keep, n_labels=nl
             )
             return keep, nl
         except LayoutReconcileError as ex:
-            new = set(ex.stuck_positions) - extra
+            new = [a for a in ex.stuck_positions if a not in extra]
             if not new:
                 raise
-            extra |= new
+            extra.extend(new)
     raise ValueError(
         f"layout fit did not converge after {max_rounds} anchored rounds"
     )
@@ -385,18 +432,19 @@ def _solve_window_np(wv, fv, prior, pos, e, lt, j0, j1, lo, hi, akw=()):
         cur[:a] = NEG
         cur[b + 1:] = NEG
         if not np.isfinite(cur.max()):
-            raise ValueError(
-                f"witness entries {j0 + 1}..{j1} cannot be matched inside "
-                f"label window [{lo}, {hi}]"
-            )
+            msg = (f"witness entries {j0 + 1}..{j1} cannot be matched "
+                   f"inside label window [{lo}, {hi}]")
+            if len(akrel):
+                raise AkInfeasible(msg, akw)
+            raise ValueError(msg)
         prev = cur
     # the last used position must leave no AK above it
     tail_ok = seg >= (len(akrel))
     final = np.where(tail_ok, prev, NEG)
     if not np.isfinite(final.max()):
-        raise ValueError(
+        raise AkInfeasible(
             f"witness entries {j0 + 1}..{j1} leave an always-kept label "
-            f"unused in window [{lo}, {hi}]"
+            f"unused in window [{lo}, {hi}]", akw,
         )
     p = int(np.argmax(final))
     for j in range(j1 - 1, j0 - 1, -1):
